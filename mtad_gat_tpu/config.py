@@ -1,0 +1,232 @@
+"""Configuration system.
+
+Covers the full flag surface of the reference CLI (reference ``args.py:15-66``:
+29 flags in data/model/train/predictor/other groups, same defaults) as typed
+dataclasses with JSON round-trip (the reference persists ``config.txt`` JSON at
+``train.py:170-172`` and reloads it at ``predict.py:53-55``), plus TPU-native
+extensions (dtype policy, mesh shape, kernel selection) that have no reference
+counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+def _asdict(obj) -> Dict[str, Any]:
+    return dataclasses.asdict(obj)
+
+
+@dataclass
+class MTADGATConfig:
+    """Model hyper-parameters (reference ``args.py:26-42`` model group and
+    ``mtad_gat.py:37-62`` constructor)."""
+
+    n_features: int = 38
+    window_size: int = 100          # --lookback
+    out_dim: int = 38
+    kernel_size: int = 7
+    use_gatv2: bool = True
+    feat_gat_embed_dim: Optional[int] = None
+    time_gat_embed_dim: Optional[int] = None
+    gru_n_layers: int = 1
+    gru_hid_dim: int = 150
+    forecast_n_layers: int = 3      # --fc_n_layers
+    forecast_hid_dim: int = 150     # --fc_hid_dim
+    recon_n_layers: int = 1
+    recon_hid_dim: int = 150
+    dropout: float = 0.3
+    alpha: float = 0.2              # leaky-relu negative slope
+
+    # --- TPU-native extensions (no reference counterpart) ---
+    # Compute dtype for the forward pass ("float32" or "bfloat16"); params
+    # always live in float32.
+    compute_dtype: str = "float32"
+    # Attention implementation: "dense" (XLA einsum, the oracle path),
+    # "pallas" (fused blockwise kernel), or "sparse" (COO SDDMM/SpMM path).
+    attention_impl: str = "dense"
+
+    def feat_embed_dim(self) -> int:
+        """Effective feature-GAT embed dim (doubled for GATv2, reference
+        ``modules.py:41,47-48``)."""
+        e = self.feat_gat_embed_dim if self.feat_gat_embed_dim is not None else self.window_size
+        return 2 * e if self.use_gatv2 else e
+
+    def time_embed_dim(self) -> int:
+        """Effective temporal-GAT embed dim (reference ``modules.py:143,148-149``)."""
+        e = self.time_gat_embed_dim if self.time_gat_embed_dim is not None else self.n_features
+        return 2 * e if self.use_gatv2 else e
+
+
+@dataclass
+class TrainConfig:
+    """Training-loop parameters (reference ``args.py:44-53`` train group)."""
+
+    epochs: int = 30
+    val_split: float = 0.1
+    bs: int = 256
+    init_lr: float = 1e-3
+    shuffle_dataset: bool = True
+    use_cuda: bool = True           # kept for config-surface parity; ignored on TPU
+    print_every: int = 1
+    log_tensorboard: bool = True
+    seed: int = 0                   # TPU extension: everything is seeded
+
+
+@dataclass
+class PredictConfig:
+    """Scoring / thresholding parameters (reference ``args.py:55-61``)."""
+
+    scale_scores: bool = False
+    use_mov_av: bool = False
+    gamma: float = 1.0
+    level: Optional[float] = None
+    q: Optional[float] = None
+    dynamic_pot: bool = False
+
+
+@dataclass
+class RunConfig:
+    """Full run configuration = the reference's argparse namespace
+    (``args.py:15-66``), JSON round-trippable like ``config.txt``."""
+
+    dataset: str = "SMD"
+    group: str = "1-1"
+    lookback: int = 100
+    normalize: bool = True
+    spec_res: bool = False          # parsed-but-unused in the reference too (args.py:23)
+
+    kernel_size: int = 7
+    use_gatv2: bool = True
+    feat_gat_embed_dim: Optional[int] = None
+    time_gat_embed_dim: Optional[int] = None
+    gru_n_layers: int = 1
+    gru_hid_dim: int = 150
+    fc_n_layers: int = 3
+    fc_hid_dim: int = 150
+    recon_n_layers: int = 1
+    recon_hid_dim: int = 150
+    alpha: float = 0.2
+
+    epochs: int = 30
+    val_split: float = 0.1
+    bs: int = 256
+    init_lr: float = 1e-3
+    shuffle_dataset: bool = True
+    dropout: float = 0.3
+    use_cuda: bool = True
+    print_every: int = 1
+    log_tensorboard: bool = True
+
+    scale_scores: bool = False
+    use_mov_av: bool = False
+    gamma: float = 1.0
+    level: Optional[float] = None
+    q: Optional[float] = None
+    dynamic_pot: bool = False
+
+    comment: str = ""
+
+    # --- TPU-native extensions ---
+    seed: int = 0
+    compute_dtype: str = "float32"
+    attention_impl: str = "dense"
+    data_root: str = "datasets"
+    output_root: str = "output"
+
+    # ------------------------------------------------------------------
+    def model_config(self, n_features: int, out_dim: int) -> MTADGATConfig:
+        return MTADGATConfig(
+            n_features=n_features,
+            window_size=self.lookback,
+            out_dim=out_dim,
+            kernel_size=self.kernel_size,
+            use_gatv2=self.use_gatv2,
+            feat_gat_embed_dim=self.feat_gat_embed_dim,
+            time_gat_embed_dim=self.time_gat_embed_dim,
+            gru_n_layers=self.gru_n_layers,
+            gru_hid_dim=self.gru_hid_dim,
+            forecast_n_layers=self.fc_n_layers,
+            forecast_hid_dim=self.fc_hid_dim,
+            recon_n_layers=self.recon_n_layers,
+            recon_hid_dim=self.recon_hid_dim,
+            dropout=self.dropout,
+            alpha=self.alpha,
+            compute_dtype=self.compute_dtype,
+            attention_impl=self.attention_impl,
+        )
+
+    def train_config(self) -> TrainConfig:
+        return TrainConfig(
+            epochs=self.epochs,
+            val_split=self.val_split,
+            bs=self.bs,
+            init_lr=self.init_lr,
+            shuffle_dataset=self.shuffle_dataset,
+            use_cuda=self.use_cuda,
+            print_every=self.print_every,
+            log_tensorboard=self.log_tensorboard,
+            seed=self.seed,
+        )
+
+    def predict_config(self) -> PredictConfig:
+        return PredictConfig(
+            scale_scores=self.scale_scores,
+            use_mov_av=self.use_mov_av,
+            gamma=self.gamma,
+            level=self.level,
+            q=self.q,
+            dynamic_pot=self.dynamic_pot,
+        )
+
+    # --- JSON round-trip (reference train.py:170-172 / predict.py:53-55) ---
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "RunConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    @classmethod
+    def load(cls, path: str) -> "RunConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+
+# Per-dataset threshold-parameter tables, hardcoded in the reference entry
+# scripts (train.py:126-143, predict.py:126-144).
+LEVEL_Q_TABLE: Dict[str, Tuple[float, float]] = {
+    "SMAP": (0.90, 0.005),
+    "MSL": (0.90, 0.001),
+    "SMD-1": (0.9950, 0.001),
+    "SMD-2": (0.9925, 0.001),
+    "SMD-3": (0.9999, 0.001),
+}
+
+REG_LEVEL_TABLE: Dict[str, int] = {
+    "SMAP": 0,
+    "MSL": 0,
+    "SMD-1": 1,
+    "SMD-2": 1,
+    "SMD-3": 1,
+}
+
+
+def lookup_pot_params(dataset: str, group: str, level: Optional[float], q: Optional[float]):
+    """Resolve (level, q, reg_level) like reference train.py:126-143."""
+    key = "SMD-" + group[0] if dataset == "SMD" else dataset
+    lvl, qq = LEVEL_Q_TABLE[key]
+    if level is not None:
+        lvl = level
+    if q is not None:
+        qq = q
+    reg_level = REG_LEVEL_TABLE[key]
+    return lvl, qq, reg_level

@@ -1,0 +1,184 @@
+"""Graph-attention layers over complete node graphs.
+
+Reference semantics (``modules.py:25-217``), reproduced exactly:
+
+- FeatureAttention: nodes are *features*; a node's representation is that
+  feature's values across the window (reference permutes to (b,k,n) at
+  ``modules.py:69``). Complete graph over k nodes.
+- TemporalAttention: nodes are *timestamps*; a node is all feature values at
+  one timestamp (``modules.py:168``). Complete graph over n nodes.
+- GATv2: linear-after-concat scoring with leakyrelu before the attention
+  vector (``modules.py:74-77``); embed dim is doubled (``modules.py:48,149``).
+- GATv1: linear-first scoring, leakyrelu after (``modules.py:80-83``).
+- Learnable (N,N) score bias (``modules.py:59-60,160-161``), softmax over the
+  key axis, dropout on attention weights, sigmoid output
+  (``modules.py:85-93``).
+
+TPU-native design: scores are computed in decomposed form (p_i + q_j) so the
+reference's (b,N,N,2d) repeat_interleave concat tensor is never built; the
+attention itself dispatches to a dense XLA path, a Pallas fused blockwise
+kernel, or a COO sparse path (see ``graph/ops.py`` and
+``kernels/gat_pallas.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mtad_gat_tpu.graph import (
+    complete_graph,
+    gat_aggregate_coo,
+    gat_aggregate_dense,
+    gatv1_scores_dense,
+    gatv2_scores_coo,
+    gatv2_scores_dense,
+)
+from mtad_gat_tpu.nn.init import (
+    torch_linear_bias,
+    torch_linear_kernel,
+    xavier_uniform_gain,
+)
+
+
+class _GATCore(nn.Module):
+    """Attention over a complete graph of ``n_nodes`` nodes, each with
+    ``node_dim`` input features."""
+
+    n_nodes: int
+    node_dim: int
+    embed_dim: int          # effective (already doubled for GATv2)
+    use_gatv2: bool
+    alpha: float
+    dropout: float
+    use_bias: bool = True
+    impl: str = "dense"     # "dense" | "sparse" | "pallas"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, v: jax.Array, deterministic: bool = True) -> jax.Array:
+        # v: (b, N, d) node features
+        d, e = self.node_dim, self.embed_dim
+        cd = self.compute_dtype
+        v = v.astype(cd)
+
+        if self.use_gatv2:
+            lin_in = 2 * d
+            a_dim = e
+        else:
+            lin_in = d
+            a_dim = 2 * e
+
+        kernel = self.param("lin_kernel", torch_linear_kernel(lin_in), (lin_in, e))
+        lin_bias = self.param("lin_bias", torch_linear_bias(lin_in), (e,))
+        a = self.param("a", xavier_uniform_gain(1.414), (a_dim, 1))
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.n_nodes, self.n_nodes))
+            if self.use_bias
+            else None
+        )
+
+        dropout_rng = None
+        if not deterministic and self.dropout > 0.0:
+            dropout_rng = self.make_rng("dropout")
+
+        a_flat = a[:, 0].astype(cd)
+        if self.use_gatv2:
+            # lin([v_i || v_j]) == v_i @ K_left + v_j @ K_right + b
+            p = v @ kernel[:d].astype(cd)                       # query side (i)
+            q = v @ kernel[d:].astype(cd) + lin_bias.astype(cd)  # key side (j)
+            if self.impl == "sparse":
+                g = complete_graph(self.n_nodes)
+                scores = gatv2_scores_coo(g, p, q, a_flat, self.alpha)
+                return gat_aggregate_coo(
+                    g, scores, v, bias, self.dropout if dropout_rng is not None else 0.0,
+                    dropout_rng,
+                ).astype(cd)
+            if self.impl == "pallas":
+                from mtad_gat_tpu.kernels.gat_pallas import gatv2_attention_fused
+
+                return gatv2_attention_fused(
+                    p, q, a_flat, bias, v, self.alpha,
+                    dropout_rate=self.dropout if dropout_rng is not None else 0.0,
+                    dropout_rng=dropout_rng,
+                ).astype(cd)
+            scores = gatv2_scores_dense(p, q, a_flat, self.alpha)
+        else:
+            wx = v @ kernel.astype(cd) + lin_bias.astype(cd)     # (b, N, e)
+            scores = gatv1_scores_dense(wx, a_flat[:e], a_flat[e:], self.alpha)
+
+        return gat_aggregate_dense(
+            scores.astype(cd), v, bias,
+            self.dropout if dropout_rng is not None else 0.0, dropout_rng,
+        ).astype(cd)
+
+
+class FeatureAttention(nn.Module):
+    """GAT over the complete graph of k features (reference
+    ``modules.py:25-122``). Input/output (b, n, k)."""
+
+    n_features: int
+    window_size: int
+    dropout: float
+    alpha: float
+    embed_dim: Optional[int] = None
+    use_gatv2: bool = True
+    use_bias: bool = True
+    impl: str = "dense"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        e = self.embed_dim if self.embed_dim is not None else self.window_size
+        if self.use_gatv2:
+            e *= 2
+        v = jnp.swapaxes(x, 1, 2)  # (b, k, n): node = feature over window
+        h = _GATCore(
+            n_nodes=self.n_features,
+            node_dim=self.window_size,
+            embed_dim=e,
+            use_gatv2=self.use_gatv2,
+            alpha=self.alpha,
+            dropout=self.dropout,
+            use_bias=self.use_bias,
+            impl=self.impl,
+            compute_dtype=self.compute_dtype,
+            name="core",
+        )(v, deterministic=deterministic)
+        return jnp.swapaxes(h, 1, 2)
+
+
+class TemporalAttention(nn.Module):
+    """GAT over the complete graph of n timestamps (reference
+    ``modules.py:125-217``). Input/output (b, n, k)."""
+
+    n_features: int
+    window_size: int
+    dropout: float
+    alpha: float
+    embed_dim: Optional[int] = None
+    use_gatv2: bool = True
+    use_bias: bool = True
+    impl: str = "dense"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        e = self.embed_dim if self.embed_dim is not None else self.n_features
+        if self.use_gatv2:
+            e *= 2
+        return _GATCore(
+            n_nodes=self.window_size,
+            node_dim=self.n_features,
+            embed_dim=e,
+            use_gatv2=self.use_gatv2,
+            alpha=self.alpha,
+            dropout=self.dropout,
+            use_bias=self.use_bias,
+            impl=self.impl,
+            compute_dtype=self.compute_dtype,
+            name="core",
+        )(x, deterministic=deterministic)

@@ -1,0 +1,92 @@
+"""GRU encoder/decoder as a ``lax.scan`` over fused gate matmuls.
+
+Matches torch ``nn.GRU`` cell semantics exactly (the reference wraps it at
+``modules.py:220-238`` for the encoder and ``modules.py:241-257`` for the
+decoder):
+
+    r = sigmoid(W_ir x + b_ir + W_hr h + b_hr)
+    z = sigmoid(W_iz x + b_iz + W_hz h + b_hz)
+    n = tanh(W_in x + b_in + r * (W_hn h + b_hn))
+    h' = (1 - z) * n + z * h
+
+with gate order (r, z, n) in the packed weights, torch-default
+U(-1/sqrt(hid), 1/sqrt(hid)) init for every weight and bias, and inter-layer
+dropout only when n_layers > 1 (the reference forces dropout to 0 for a single
+layer, ``modules.py:232,252``).
+
+TPU-native notes: the three gates are computed with ONE (in+hid) x 3*hid
+matmul per step per layer — the input-to-hidden half for the whole sequence is
+hoisted out of the scan and computed as a single large MXU matmul over
+(b*n, in); only the recurrent half runs inside the scan. The scan carries a
+single (b, hid) state per layer; XLA unrolls/pipelines it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mtad_gat_tpu.nn.init import uniform_bound
+
+
+class GRU(nn.Module):
+    """Multi-layer batch-first GRU. Returns (outputs, last_hidden) where
+    outputs is (b, n, hid) from the last layer and last_hidden is (b, hid) —
+    the only thing the reference actually consumes downstream
+    (``mtad_gat.py:73-74``; its ``out[-1]`` indexing bug makes the sequence
+    output unused)."""
+
+    in_dim: int
+    hid_dim: int
+    n_layers: int = 1
+    dropout: float = 0.0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, deterministic: bool = True
+    ) -> Tuple[jax.Array, jax.Array]:
+        # x: (b, n, in_dim)
+        cd = self.compute_dtype
+        h = x.astype(cd)
+        bound = 1.0 / math.sqrt(self.hid_dim)
+        init = uniform_bound(bound)
+        last_hidden = None
+        eff_dropout = 0.0 if self.n_layers == 1 else self.dropout
+
+        for layer in range(self.n_layers):
+            in_dim = self.in_dim if layer == 0 else self.hid_dim
+            # packed gate order (r, z, n); stored (in, 3h) for right-matmul
+            w_ih = self.param(f"w_ih_l{layer}", init, (in_dim, 3 * self.hid_dim))
+            w_hh = self.param(f"w_hh_l{layer}", init, (self.hid_dim, 3 * self.hid_dim))
+            b_ih = self.param(f"b_ih_l{layer}", init, (3 * self.hid_dim,))
+            b_hh = self.param(f"b_hh_l{layer}", init, (3 * self.hid_dim,))
+
+            # Hoist the input projection out of the scan: one big MXU matmul.
+            gi = h @ w_ih.astype(cd) + b_ih.astype(cd)          # (b, n, 3h)
+            gi = jnp.swapaxes(gi, 0, 1)                          # (n, b, 3h)
+
+            def step(carry, gi_t, w_hh=w_hh, b_hh=b_hh):
+                gh = carry @ w_hh.astype(cd) + b_hh.astype(cd)   # (b, 3h)
+                i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+                h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+                r = jax.nn.sigmoid(i_r + h_r)
+                z = jax.nn.sigmoid(i_z + h_z)
+                n = jnp.tanh(i_n + r * h_n)
+                new = (1.0 - z) * n + z * carry
+                return new, new
+
+            h0 = jnp.zeros((h.shape[0], self.hid_dim), cd)
+            last_hidden, outs = jax.lax.scan(step, h0, gi)
+            h = jnp.swapaxes(outs, 0, 1)                         # (b, n, h)
+
+            if eff_dropout > 0.0 and not deterministic and layer < self.n_layers - 1:
+                rng = self.make_rng("dropout")
+                keep = jax.random.bernoulli(rng, 1.0 - eff_dropout, h.shape)
+                h = jnp.where(keep, h / (1.0 - eff_dropout), 0.0)
+
+        return h, last_hidden
