@@ -1,0 +1,21 @@
+from mtad_gat_tpu.inference.eval_methods import (
+    adjust_predicts,
+    calc_point2point,
+    bf_search,
+    epsilon_eval,
+    find_epsilon,
+    pot_eval,
+)
+from mtad_gat_tpu.inference.spot import SPOT
+from mtad_gat_tpu.inference.predictor import Predictor
+
+__all__ = [
+    "adjust_predicts",
+    "calc_point2point",
+    "bf_search",
+    "epsilon_eval",
+    "find_epsilon",
+    "pot_eval",
+    "SPOT",
+    "Predictor",
+]

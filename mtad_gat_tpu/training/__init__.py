@@ -1,0 +1,4 @@
+from mtad_gat_tpu.training.trainer import Trainer, TrainState
+from mtad_gat_tpu.training.checkpoint import save_checkpoint, load_checkpoint
+
+__all__ = ["Trainer", "TrainState", "save_checkpoint", "load_checkpoint"]
