@@ -1,0 +1,116 @@
+"""Full train -> evaluate -> predict pipeline entry point.
+
+Capabilities of reference ``train.py:12-172``: loads the dataset, builds the
+model, trains with a val split, plots loss curves, evaluates on test, resolves
+per-dataset POT/epsilon params, runs anomaly prediction with all three
+thresholding methods, and persists ``config.txt`` for later ``predict.py``
+reloads. Run directories are datetime-stamped exactly like the reference
+(``train.py:14``: ddmmYYYY_HHMMSS).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+
+from mtad_gat_tpu.cli.args import get_parser, to_run_config
+from mtad_gat_tpu.config import RunConfig, lookup_pot_params
+from mtad_gat_tpu.data import get_data, get_target_dims
+from mtad_gat_tpu.inference import Predictor
+from mtad_gat_tpu.training import Trainer
+from mtad_gat_tpu.utils.plotting import plot_losses
+
+
+def run_training(cfg: RunConfig, run_id: str | None = None) -> str:
+    """Execute the full pipeline; returns the save path."""
+    run_id = run_id or datetime.now().strftime("%d%m%Y_%H%M%S")
+    dataset = cfg.dataset
+    window_size = cfg.lookback
+
+    if dataset == "SMD":
+        output_path = os.path.join(cfg.output_root, "SMD", cfg.group)
+        group_index, index = cfg.group[0], cfg.group[2:]
+        (x_train, _), (x_test, y_test) = get_data(
+            f"machine-{group_index}-{index}", data_root=cfg.data_root,
+            normalize=cfg.normalize,
+        )
+    elif dataset in ("MSL", "SMAP"):
+        output_path = os.path.join(cfg.output_root, dataset)
+        (x_train, _), (x_test, y_test) = get_data(
+            dataset, data_root=cfg.data_root, normalize=cfg.normalize
+        )
+    else:
+        raise ValueError(f'Dataset "{dataset}" not available.')
+
+    log_dir = os.path.join(output_path, "logs")
+    os.makedirs(output_path, exist_ok=True)
+    os.makedirs(log_dir, exist_ok=True)
+    save_path = os.path.join(output_path, run_id)
+
+    n_features = x_train.shape[1]
+    target_dims = get_target_dims(dataset)
+    if target_dims is None:
+        out_dim = n_features
+        print(f"Will forecast and reconstruct all {n_features} input features")
+    elif isinstance(target_dims, int):
+        print(f"Will forecast and reconstruct input feature: {target_dims}")
+        out_dim = 1
+    else:
+        print(f"Will forecast and reconstruct input features: {target_dims}")
+        out_dim = len(target_dims)
+
+    model_cfg = cfg.model_config(n_features, out_dim)
+    train_cfg = cfg.train_config()
+    args_summary = cfg.to_json()
+    print(args_summary)
+
+    trainer = Trainer(
+        model_cfg, train_cfg, target_dims=target_dims, save_path=save_path,
+        log_dir=log_dir, args_summary=args_summary,
+    )
+    trainer.init_state()
+    trainer.fit(x_train)
+
+    plot_losses(trainer.losses, save_path=save_path, plot=False)
+
+    test_loss = trainer.evaluate(x_test)
+    print(f"Test forecast loss: {test_loss[0]:.5f}")
+    print(f"Test reconstruction loss: {test_loss[1]:.5f}")
+    print(f"Test total loss: {test_loss[2]:.5f}")
+
+    level, q, reg_level = lookup_pot_params(dataset, cfg.group, cfg.level, cfg.q)
+
+    trainer.load(os.path.join(save_path, "model.msgpack"))
+    prediction_args = {
+        "dataset": dataset,
+        "target_dims": target_dims,
+        "scale_scores": cfg.scale_scores,
+        "level": level,
+        "q": q,
+        "dynamic_pot": cfg.dynamic_pot,
+        "use_mov_av": cfg.use_mov_av,
+        "gamma": cfg.gamma,
+        "reg_level": reg_level,
+        "save_path": save_path,
+    }
+    predictor = Predictor(
+        trainer.model, trainer.state.params, window_size, n_features,
+        prediction_args, batch_size=cfg.bs, data_root=cfg.data_root,
+    )
+    label = y_test[window_size:] if y_test is not None else None
+    predictor.predict_anomalies(x_train, x_test, label)
+
+    cfg.save(os.path.join(save_path, "config.txt"))
+    return save_path
+
+
+def main() -> None:
+    args = get_parser().parse_args()
+    cfg = to_run_config(args)
+    run_training(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,218 @@
+"""Visualization / reporting.
+
+Capabilities of reference ``utils.py:153-181`` (loss curves) and
+``plotting.py:15-493`` (Plotter: run resolution, result summaries, per-feature
+forecast/recon/score plots, all-feature grids, anomaly-segment views, global
+score plots). Implemented with matplotlib only — plotly/cufflinks are not in
+the TPU image, so interactive variants degrade to static plots with the same
+information.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+from typing import List, Optional
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+
+
+def plot_losses(losses: dict, save_path: str = "", plot: bool = False) -> None:
+    """Train/validation loss curves (reference ``utils.py:153-181``)."""
+    os.makedirs(save_path or ".", exist_ok=True)
+
+    plt.figure()
+    plt.plot(losses["train_forecast"], label="Forecast loss")
+    plt.plot(losses["train_recon"], label="Recon loss")
+    plt.plot(losses["train_total"], label="Total loss")
+    plt.title("Training losses during training")
+    plt.xlabel("Epoch")
+    plt.ylabel("RMSE")
+    plt.legend()
+    plt.savefig(os.path.join(save_path, "train_losses.png"), bbox_inches="tight")
+    plt.close()
+
+    plt.figure()
+    plt.plot(losses["val_forecast"], label="Forecast loss")
+    plt.plot(losses["val_recon"], label="Recon loss")
+    plt.plot(losses["val_total"], label="Total loss")
+    plt.title("Validation losses during training")
+    plt.xlabel("Epoch")
+    plt.ylabel("RMSE")
+    plt.legend()
+    plt.savefig(os.path.join(save_path, "validation_losses.png"), bbox_inches="tight")
+    plt.close()
+
+
+def get_anomaly_sequences(values: np.ndarray) -> List[List[int]]:
+    """Contiguous [start, end] anomaly segments from a 0/1 vector
+    (reference ``plotting.py:93-152`` helper semantics)."""
+    v = np.asarray(values).astype(int)
+    if v.size == 0:
+        return []
+    diff = np.diff(v)
+    starts = list(np.where(diff == 1)[0] + 1)
+    ends = list(np.where(diff == -1)[0])
+    if v[0]:
+        starts = [0] + starts
+    if v[-1]:
+        ends = ends + [v.size - 1]
+    return [[int(s), int(e)] for s, e in zip(starts, ends)]
+
+
+class Plotter:
+    """Result visualization for a trained run directory
+    (reference ``plotting.py:15-493``)."""
+
+    def __init__(self, result_path: str, model_id: str = "-1"):
+        self.result_path = result_path
+        self.model_id = model_id
+        self.train_output: Optional[pd.DataFrame] = None
+        self.test_output: Optional[pd.DataFrame] = None
+        self.labels_available = True
+        self.pred_cols = ["A_Score", "Thresh", "A_Pred"]
+        self._load_results()
+        self.lookback = self._config().get("lookback", 100)
+
+    # -- run resolution (plotting.py:43-56) --
+    def _resolve(self) -> str:
+        if self.model_id.startswith("-"):
+            dir_content = os.listdir(self.result_path)
+            subfolders = [
+                s for s in dir_content
+                if os.path.isdir(os.path.join(self.result_path, s)) and s != "logs"
+            ]
+            date_times = [datetime.strptime(s, "%d%m%Y_%H%M%S") for s in subfolders]
+            date_times.sort()
+            chosen = date_times[int(self.model_id)]
+            return os.path.join(self.result_path, chosen.strftime("%d%m%Y_%H%M%S"))
+        return os.path.join(self.result_path, self.model_id)
+
+    def _config(self) -> dict:
+        path = os.path.join(self.run_path, "config.txt")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return {}
+
+    def _load_results(self) -> None:
+        self.run_path = self._resolve()
+        print(f"Loading results of {self.run_path}")
+        self.train_output = pd.read_pickle(os.path.join(self.run_path, "train_output.pkl"))
+        self.train_output["A_True_Global"] = 0
+        self.test_output = pd.read_pickle(os.path.join(self.run_path, "test_output.pkl"))
+        if "A_True_Global" not in self.test_output.columns:
+            self.labels_available = False
+
+    # -- summaries (plotting.py:71-91) --
+    def result_summary(self) -> dict:
+        path = os.path.join(self.run_path, "summary.txt")
+        if not os.path.exists(path):
+            print(f"Folder {self.run_path} do not have a summary.txt file")
+            return {}
+        with open(path) as f:
+            summary = json.load(f)
+        for method, res in summary.items():
+            if "f1" in res:
+                print(
+                    f"{method}: f1={res['f1']:.4f} precision={res['precision']:.4f} "
+                    f"recall={res['recall']:.4f}"
+                )
+        return summary
+
+    # -- per-feature plots (plotting.py:154-287) --
+    def plot_feature(self, feature: int, plot_train: bool = False,
+                     start: int = 0, end: Optional[int] = None,
+                     save_path: Optional[str] = None) -> None:
+        df = self.train_output if plot_train else self.test_output
+        end = len(df) if end is None else end
+        assert start < end
+        sl = slice(start, end)
+
+        fig, axes = plt.subplots(2, 1, figsize=(14, 6), sharex=True)
+        if f"Forecast_{feature}" in df.columns:
+            axes[0].plot(df[f"True_{feature}"].values[sl], label="actual", lw=0.8)
+            axes[0].plot(df[f"Forecast_{feature}"].values[sl], label="forecast", lw=0.8)
+            axes[0].plot(df[f"Recon_{feature}"].values[sl], label="recon", lw=0.8)
+        axes[0].set_title(f"Feature {feature}")
+        axes[0].legend()
+        if f"A_Score_{feature}" in df.columns:
+            axes[1].plot(df[f"A_Score_{feature}"].values[sl], label="score", lw=0.8)
+            axes[1].plot(df[f"Thresh_{feature}"].values[sl], label="threshold",
+                         lw=0.8, ls="--", c="red")
+        if self.labels_available and not plot_train:
+            for s, e in get_anomaly_sequences(df["A_True_Global"].values[sl]):
+                for ax in axes:
+                    ax.axvspan(s, e, color="red", alpha=0.15)
+        axes[1].legend()
+        if save_path:
+            plt.savefig(save_path, bbox_inches="tight")
+        plt.close(fig)
+
+    def plot_all_features(self, plot_train: bool = False,
+                          save_path: Optional[str] = None) -> None:
+        """All-feature grid (plotting.py:289-318)."""
+        df = self.train_output if plot_train else self.test_output
+        features = sorted(
+            int(c.split("_")[-1]) for c in df.columns if c.startswith("A_Score_")
+            and c != "A_Score_Global"
+        )
+        n = len(features)
+        fig, axes = plt.subplots(n, 1, figsize=(14, 1.6 * n), sharex=True, squeeze=False)
+        for i, f in enumerate(features):
+            axes[i][0].plot(df[f"A_Score_{f}"].values, lw=0.5)
+            axes[i][0].set_ylabel(str(f))
+        if save_path:
+            plt.savefig(save_path, bbox_inches="tight")
+        plt.close(fig)
+
+    def plot_anomaly_segments(self, save_path: Optional[str] = None) -> None:
+        """Aligned anomaly-segment view (plotting.py:320-435)."""
+        df = self.test_output
+        if not self.labels_available:
+            print("No labels available")
+            return
+        segments = get_anomaly_sequences(df["A_True_Global"].values)
+        n = min(len(segments), 12)
+        if n == 0:
+            print("No anomaly segments")
+            return
+        fig, axes = plt.subplots(1, n, figsize=(2.5 * n, 3), squeeze=False)
+        for i, (s, e) in enumerate(segments[:n]):
+            pad = max(20, (e - s))
+            sl = slice(max(0, s - pad), min(len(df), e + pad))
+            axes[0][i].plot(range(sl.start, sl.stop),
+                            df["A_Score_Global"].values[sl], lw=0.7)
+            axes[0][i].axvspan(s, e, color="red", alpha=0.15)
+        if save_path:
+            plt.savefig(save_path, bbox_inches="tight")
+        plt.close(fig)
+
+    def plot_global_predictions(self, plot_train: bool = False,
+                                save_path: Optional[str] = None) -> None:
+        """Global score vs threshold with predicted/true anomalies
+        (plotting.py:437-493)."""
+        df = self.train_output if plot_train else self.test_output
+        fig, ax = plt.subplots(figsize=(14, 4))
+        ax.plot(df["A_Score_Global"].values, label="global score", lw=0.7)
+        if "Thresh_Global" in df.columns:
+            ax.plot(df["Thresh_Global"].values, label="threshold", lw=0.8,
+                    ls="--", c="red")
+        if "A_Pred_Global" in df.columns:
+            preds = df["A_Pred_Global"].values
+            idx = np.where(preds > 0)[0]
+            ax.scatter(idx, df["A_Score_Global"].values[idx], s=4, c="orange",
+                       label="predicted anomaly")
+        if self.labels_available and not plot_train:
+            for s, e in get_anomaly_sequences(df["A_True_Global"].values):
+                ax.axvspan(s, e, color="red", alpha=0.15)
+        ax.legend()
+        if save_path:
+            plt.savefig(save_path, bbox_inches="tight")
+        plt.close(fig)

@@ -1,0 +1,77 @@
+"""End-to-end pipeline test: preprocess-shaped synthetic SMD entity ->
+train -> predict -> summary/outputs -> reload via predict path -> Plotter.
+
+This is the CPU-runnable minimum slice of SURVEY.md §7 step 7.
+"""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from mtad_gat_tpu.cli.predict_cli import resolve_model_dir
+from mtad_gat_tpu.cli.train_cli import run_training
+from mtad_gat_tpu.config import RunConfig
+from mtad_gat_tpu.data import synthetic_series
+from mtad_gat_tpu.utils.plotting import Plotter
+
+
+@pytest.fixture(scope="module")
+def smd_like_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("datasets")
+    proc = root / "ServerMachineDataset" / "processed"
+    os.makedirs(proc)
+    train, test, labels = synthetic_series(
+        n_train=500, n_test=300, n_features=38, seed=3
+    )
+    for name, arr in [
+        ("machine-1-1_train.pkl", train),
+        ("machine-1-1_test.pkl", test),
+        ("machine-1-1_test_label.pkl", labels.astype(np.float32)),
+    ]:
+        with open(proc / name, "wb") as f:
+            pickle.dump(arr, f)
+    return root
+
+
+def test_full_pipeline(smd_like_root, tmp_path):
+    out_root = tmp_path / "output"
+    cfg = RunConfig(
+        dataset="SMD", group="1-1", lookback=20, epochs=2, bs=32,
+        gru_hid_dim=16, fc_hid_dim=16, fc_n_layers=1, recon_hid_dim=16,
+        log_tensorboard=False, data_root=str(smd_like_root),
+        output_root=str(out_root),
+    )
+    save_path = run_training(cfg, run_id="01012026_120000")
+
+    # Outputs exist
+    for fname in ("summary.txt", "config.txt", "model.msgpack",
+                  "train_output.pkl", "test_output.pkl",
+                  "train_losses.png", "validation_losses.png"):
+        assert os.path.exists(os.path.join(save_path, fname)), fname
+
+    with open(os.path.join(save_path, "summary.txt")) as f:
+        summary = json.load(f)
+    assert 0.0 <= summary["bf_result"]["f1"] <= 1.0
+    # bf-search upper-bounds the other methods on the same scores
+    assert summary["bf_result"]["f1"] >= summary["epsilon_result"]["f1"] - 1e-9
+
+    # Config round-trip
+    cfg2 = RunConfig.load(os.path.join(save_path, "config.txt"))
+    assert cfg2.lookback == cfg.lookback
+    assert cfg2.dataset == "SMD"
+
+    # Run-dir resolution like predict.py
+    resolved = resolve_model_dir(str(out_root / "SMD" / "1-1"), "-1")
+    assert os.path.abspath(resolved) == os.path.abspath(save_path)
+
+    # Plotter over the run artifacts
+    plotter = Plotter(str(out_root / "SMD" / "1-1"), model_id="-1")
+    res = plotter.result_summary()
+    assert "bf_result" in res
+    plotter.plot_feature(0, save_path=os.path.join(save_path, "feat0.png"))
+    plotter.plot_global_predictions(save_path=os.path.join(save_path, "global.png"))
+    plotter.plot_anomaly_segments(save_path=os.path.join(save_path, "segments.png"))
+    assert os.path.exists(os.path.join(save_path, "feat0.png"))
