@@ -27,6 +27,7 @@ from mtad_gat_tpu.nn import (
     TemporalAttention,
     TemporalConv,
 )
+from mtad_gat_tpu.parallel.sharding import constrain
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
@@ -40,7 +41,7 @@ class MTADGAT(nn.Module):
     ) -> Tuple[jax.Array, jax.Array]:
         c = self.config
         cd = _DTYPES[c.compute_dtype]
-        x = x.astype(cd)
+        x = constrain(x.astype(cd), "data", None, None)
 
         x = TemporalConv(
             n_features=c.n_features, kernel_size=c.kernel_size,
@@ -62,6 +63,7 @@ class MTADGAT(nn.Module):
         )(x, deterministic=deterministic)
 
         h_cat = jnp.concatenate([x, h_feat, h_temp], axis=2)  # (b, n, 3k)
+        h_cat = constrain(h_cat, "data", None, None)
 
         _, h_end = GRU(
             in_dim=3 * c.n_features, hid_dim=c.gru_hid_dim,

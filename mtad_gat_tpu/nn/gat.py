@@ -42,6 +42,7 @@ from mtad_gat_tpu.nn.init import (
     torch_linear_kernel,
     xavier_uniform_gain,
 )
+from mtad_gat_tpu.parallel.sharding import constrain
 
 
 class _GATCore(nn.Module):
@@ -60,10 +61,13 @@ class _GATCore(nn.Module):
 
     @nn.compact
     def __call__(self, v: jax.Array, deterministic: bool = True) -> jax.Array:
-        # v: (b, N, d) node features
+        # v: (b, N, d) node features; nodes partitioned over the model axis
+        # (edge partition of the complete graph into row blocks: each shard
+        # owns the incoming edges of its nodes; softmax over keys is local,
+        # key-side projections/values are all-gathered over ICI by GSPMD).
         d, e = self.node_dim, self.embed_dim
         cd = self.compute_dtype
-        v = v.astype(cd)
+        v = constrain(v.astype(cd), "data", "model", None)
 
         if self.use_gatv2:
             lin_in = 2 * d
@@ -110,10 +114,12 @@ class _GATCore(nn.Module):
             wx = v @ kernel.astype(cd) + lin_bias.astype(cd)     # (b, N, e)
             scores = gatv1_scores_dense(wx, a_flat[:e], a_flat[e:], self.alpha)
 
-        return gat_aggregate_dense(
+        scores = constrain(scores, "data", "model", None)
+        out = gat_aggregate_dense(
             scores.astype(cd), v, bias,
             self.dropout if dropout_rng is not None else 0.0, dropout_rng,
         ).astype(cd)
+        return constrain(out, "data", "model", None)
 
 
 class FeatureAttention(nn.Module):

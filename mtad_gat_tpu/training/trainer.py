@@ -39,6 +39,7 @@ import optax
 from mtad_gat_tpu.config import MTADGATConfig, TrainConfig
 from mtad_gat_tpu.data.windows import batched_starts, num_windows, window_batch
 from mtad_gat_tpu.models import MTADGAT
+from mtad_gat_tpu.parallel.sharding import use_mesh
 from mtad_gat_tpu.training.checkpoint import load_checkpoint, save_checkpoint
 from mtad_gat_tpu.training.metrics import MetricsLogger
 
@@ -72,6 +73,7 @@ class Trainer:
         log_dir: str = "output/logs",
         args_summary: str = "",
         horizon: int = 1,
+        mesh=None,
     ):
         self.model_config = model_config
         self.train_config = train_config
@@ -81,6 +83,7 @@ class Trainer:
         self.log_dir = log_dir
         self.horizon = horizon
         self.window = model_config.window_size
+        self.mesh = mesh  # optional jax.sharding.Mesh for multi-chip training
         self.tx = optax.adam(train_config.init_lr)
 
         self.losses = {
@@ -177,8 +180,18 @@ class Trainer:
             _, out = jax.lax.scan(step, None, (starts, mask))
             return out
 
-        self._epoch_train = epoch_train
-        self._epoch_eval = epoch_eval
+        # Entering the mesh context at call time means the constraints inside
+        # the model become GSPMD anchors when the function is traced/compiled.
+        def run_train(state, series, starts, mask):
+            with use_mesh(self.mesh):
+                return epoch_train(state, series, starts, mask)
+
+        def run_eval(params, series, starts, mask):
+            with use_mesh(self.mesh):
+                return epoch_eval(params, series, starts, mask)
+
+        self._epoch_train = run_train
+        self._epoch_eval = run_eval
 
     # ------------------------------------------------------------------
     @staticmethod
