@@ -1,0 +1,225 @@
+"""Fused blockwise GATv2 attention — the Pallas TPU hot-path kernel.
+
+Computes, for each destination node i over a complete graph:
+
+    out_i = sigmoid( sum_j softmax_j( a . leakyrelu(p_i + q_j) + bias_ij ) v_j )
+
+in flash-attention style: the (N, N) score matrix is never materialized in
+HBM. The grid is (batch, i-blocks, j-blocks) with the j dimension as the
+online-softmax reduction: per j-block the kernel computes an (BI, BJ) score
+tile chunk-by-chunk over the embedding dimension (the SDDMM — additive GATv2
+scores have no QK^T matmul structure, so this part is VPU work), updates the
+running max/denominator, and accumulates ``exp(s - m) @ v`` on the MXU.
+
+This replaces the reference's (b, N, N, 2d) repeat_interleave concat tensor
+(``modules.py:97-122``) — its single most memory-hungry op — with an
+O(BI * BJ * chunk) VMEM working set, making window/node counts of 4k+
+feasible on a single chip.
+
+Performance note (measured on TPU v5e): additive GATv2 scores are O(N^2 E)
+VPU work with no matmul structure, and XLA's fused broadcast+reduce on the
+decomposed dense path (``graph/ops.py``) already runs near VPU
+speed-of-light at the reference's node counts (N in 38..100), so ``dense``
+remains the default production path. This kernel is the bounded-memory path
+for very large node counts where the (b, N, N) score tensor and its softmax
+re-reads stop fitting: it keeps HBM traffic at O(N * E + N * D) per row
+block regardless of N.
+
+Backward: the fused forward is wrapped in a custom_vjp whose backward
+recomputes through the decomposed dense path (exact same math); a fully
+blockwise backward is a follow-up optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mtad_gat_tpu.graph.ops import gat_aggregate_dense, gatv2_scores_dense
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(
+    p_ref, q_ref, a_ref, bias_ref, v_ref, o_ref,
+    m_scr, l_scr, acc_scr,
+    *, alpha: float, n_nodes: int, block_j: int, e_chunk: int, has_bias: bool,
+):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    p = p_ref[0]            # (BI, ep)
+    q = q_ref[0]            # (BJ, ep)
+    a = a_ref[...]          # (1, ep)
+
+    bi = p.shape[0]
+    bj = q.shape[0]
+    ep = p.shape[1]
+
+    # SDDMM over embedding chunks: s_ij = sum_e a_e * leakyrelu(p_ie + q_je).
+    # Zero-padded a/p/q tail chunks contribute exactly 0.
+    s = jnp.zeros((bi, bj), jnp.float32)
+    for c in range(ep // e_chunk):
+        pc = p[:, c * e_chunk : (c + 1) * e_chunk].astype(jnp.float32)
+        qc = q[:, c * e_chunk : (c + 1) * e_chunk].astype(jnp.float32)
+        ac = a[0, c * e_chunk : (c + 1) * e_chunk].astype(jnp.float32)
+        z = pc[:, None, :] + qc[None, :, :]                  # (BI, BJ, EC)
+        z = jnp.where(z >= 0, z, alpha * z)                  # leaky_relu
+        s = s + jnp.sum(z * ac[None, None, :], axis=-1)
+
+    if has_bias:
+        s = s + bias_ref[...].astype(jnp.float32)
+
+    # mask padded key columns
+    col = jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1) + j * block_j
+    s = jnp.where(col < n_nodes, s, NEG_INF)
+
+    # online softmax update
+    m_prev = m_scr[:, 0:1]                                   # (BI, 1)
+    l_prev = l_scr[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    e_s = jnp.exp(s - m_new)                                 # (BI, BJ)
+    l_new = l_prev * corr + jnp.sum(e_s, axis=1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * corr + jnp.dot(
+        e_s, v_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        out = acc_scr[...] / l_scr[:, 0:1]
+        o_ref[0] = jax.nn.sigmoid(out).astype(o_ref.dtype)
+
+
+def _fused_forward(
+    p: jax.Array, q: jax.Array, a: jax.Array, bias: Optional[jax.Array],
+    v: jax.Array, alpha: float, interpret: bool,
+) -> jax.Array:
+    B, N, E = p.shape
+    D = v.shape[-1]
+
+    block_i = min(128, _round_up(N, 8))
+    block_j = min(128, _round_up(N, 128))
+    e_chunk = min(128, _round_up(E, 128))
+    Np = _round_up(N, max(block_i, block_j))
+    Ep = _round_up(E, e_chunk)
+    Dp = _round_up(D, 128)
+
+    pad3 = lambda x, n2, n3: jnp.pad(
+        x, ((0, 0), (0, n2 - x.shape[1]), (0, n3 - x.shape[2]))
+    )
+    p_p = pad3(p, Np, Ep)
+    q_p = pad3(q, Np, Ep)
+    v_p = pad3(v, Np, Dp)
+    a_p = jnp.pad(a, (0, Ep - E)).reshape(1, Ep)
+    has_bias = bias is not None
+
+    grid = (B, Np // block_i, Np // block_j)
+    in_specs = [
+        pl.BlockSpec((1, block_i, Ep), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_j, Ep), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, Ep), lambda b, i, j: (0, 0)),
+    ]
+    operands = [p_p, q_p, a_p]
+    if has_bias:
+        bias_p = jnp.pad(bias, ((0, Np - N), (0, Np - N)))
+        in_specs.append(pl.BlockSpec((block_i, block_j), lambda b, i, j: (i, j)))
+        operands.append(bias_p)
+    else:
+        in_specs.append(pl.BlockSpec((1, 1), lambda b, i, j: (0, 0)))
+        operands.append(jnp.zeros((1, 1), jnp.float32))
+    in_specs.append(pl.BlockSpec((1, block_j, Dp), lambda b, i, j: (b, j, 0)))
+    operands.append(v_p)
+
+    kernel = functools.partial(
+        _kernel, alpha=alpha, n_nodes=N, block_j=block_j,
+        e_chunk=e_chunk, has_bias=has_bias,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Np, Dp), v.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_i, Dp), lambda b, i, j: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_i, 128), jnp.float32),   # running max
+            pltpu.VMEM((block_i, 128), jnp.float32),   # running denom
+            pltpu.VMEM((block_i, Dp), jnp.float32),    # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:, :N, :D]
+
+
+def _dense_reference(p, q, a, bias, v, alpha):
+    scores = gatv2_scores_dense(p, q, a, alpha)
+    return gat_aggregate_dense(scores, v, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused(p, q, a, bias, v, alpha, interpret):
+    return _fused_forward(p, q, a, bias, v, alpha, interpret)
+
+
+def _fused_fwd(p, q, a, bias, v, alpha, interpret):
+    return _fused_forward(p, q, a, bias, v, alpha, interpret), (p, q, a, bias, v)
+
+
+def _fused_bwd(alpha, interpret, res, g):
+    p, q, a, bias, v = res
+    if bias is None:
+        fn = lambda p_, q_, a_, v_: _dense_reference(p_, q_, a_, None, v_, alpha)
+        _, vjp = jax.vjp(fn, p, q, a, v)
+        dp, dq, da, dv = vjp(g)
+        return dp, dq, da, None, dv
+    _, vjp = jax.vjp(
+        lambda p_, q_, a_, b_, v_: _dense_reference(p_, q_, a_, b_, v_, alpha),
+        p, q, a, bias, v,
+    )
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def gatv2_attention_fused(
+    p: jax.Array,
+    q: jax.Array,
+    a: jax.Array,
+    bias: Optional[jax.Array],
+    v: jax.Array,
+    alpha: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused GATv2 attention; falls back to the dense XLA path when attention
+    dropout is active (training) — the fused kernel is the inference/scoring
+    hot path."""
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        scores = gatv2_scores_dense(p, q, a, alpha)
+        return gat_aggregate_dense(scores, v, bias, dropout_rate, dropout_rng)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused(p, q, a, bias, v, float(alpha), bool(interpret))
