@@ -75,6 +75,13 @@ class SPOT:
         self.Nt = self.peaks.size
         self.n = n_init
 
+        if self.Nt == 0:
+            # no excesses above the initial threshold: no tail to fit; fall
+            # back to the empirical threshold (robustness guard; the
+            # reference crashes here)
+            self.extreme_quantile = float(self.init_threshold)
+            return
+
         g, s, _ = self._grimshaw()
         self.extreme_quantile = self._quantile(g, s)
         if verbose:
@@ -87,9 +94,16 @@ class SPOT:
     def _roots_finder(fun, jac, bounds, npoints, method="regular") -> np.ndarray:
         if method == "regular":
             step = (bounds[1] - bounds[0]) / (npoints + 1)
+            # degenerate interval (all peaks equal, or numerically collapsed
+            # bounds): no roots to search — robustness guard the reference
+            # lacks (it crashes on such inputs)
+            if not np.isfinite(step) or step <= 0:
+                return np.array([])
             X0 = np.arange(bounds[0] + step, bounds[1], step)
         else:
             X0 = np.random.uniform(bounds[0], bounds[1], npoints)
+        if X0.size == 0:
+            return np.array([])
 
         def obj(X):
             g = 0.0
@@ -135,6 +149,11 @@ class SPOT:
             return us * jac_vs + vs * jac_us
 
         Ym, YM, Ymean = peaks.min(), peaks.max(), peaks.mean()
+        if YM <= 0 or Ym == YM:
+            # single-valued/degenerate excesses: exponential-tail fallback
+            return 0.0, max(float(Ymean), 1e-12), self._log_likelihood(
+                np.maximum(peaks, 1e-12), 0.0, max(float(Ymean), 1e-12)
+            )
         a = -1 / YM
         if abs(a) < 2 * epsilon:
             epsilon = abs(a) / n_points
