@@ -19,6 +19,8 @@ from typing import List
 
 import numpy as np
 
+from mtad_gat_tpu.native import csv_load_f32
+
 
 def _dump(obj, path: str) -> None:
     with open(path, "wb") as f:
@@ -39,7 +41,7 @@ def preprocess_smd(data_root: str = "datasets") -> List[str]:
         name = filename[: -len(".txt")]
         for category in ("train", "test", "test_label"):
             src = os.path.join(dataset_folder, category, filename)
-            arr = np.genfromtxt(src, dtype=np.float32, delimiter=",")
+            arr = csv_load_f32(src)  # native fast path, genfromtxt fallback
             _dump(arr, os.path.join(output_folder, f"{name}_{category}.pkl"))
         done.append(name)
     return done

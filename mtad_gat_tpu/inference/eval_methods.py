@@ -137,11 +137,25 @@ def bf_search(
     step_num: int = 1,
     display_freq: int = 1,
     verbose: bool = True,
+    use_native: bool = True,
 ) -> Dict:
     """Best-F1 threshold grid search (reference ``eval_methods.py:120-157``).
     Note the reference increments BEFORE evaluating, so the first tested
-    threshold is start + range/step_num — replicated."""
+    threshold is start + range/step_num — replicated.
+
+    When the native host library is available (and no verbose tracing is
+    requested) the search runs in C++ with OpenMP across thresholds — same
+    semantics, each threshold a full point-adjust + metrics pass."""
     print("Finding best f1-score by searching for threshold..")
+    if (
+        use_native and not verbose and end is not None
+        and step_num and step_num > 1 and label is not None
+    ):
+        from mtad_gat_tpu.native import bf_search_native
+
+        res = bf_search_native(score, label, start, end, step_num)
+        if res is not None:
+            return res
     if step_num is None or end is None:
         end = start
         step_num = 1

@@ -1,0 +1,136 @@
+"""ctypes bindings for the native host-runtime library (``native/host_ops.cpp``).
+
+The library is built on demand with g++ (no pybind11 in the image; plain
+C ABI + ctypes keeps the binding dependency-free). Every entry point has a
+pure-numpy fallback, so the framework works without a toolchain — the native
+path is a host-side speedup, not a requirement. Set MTAD_GAT_NO_NATIVE=1 to
+force the fallbacks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libmtadhost.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "host_ops.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-fopenmp", "-o", _LIB_PATH, src],
+            check=True, capture_output=True, cwd=_NATIVE_DIR, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("MTAD_GAT_NO_NATIVE"):
+            return None
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+
+        lib.csv_dims.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.csv_dims.restype = ctypes.c_int
+        lib.csv_parse_f32.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.csv_parse_f32.restype = ctypes.c_int
+        lib.point_adjust.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+        ]
+        lib.point_adjust.restype = ctypes.c_double
+        lib.bf_search.argtypes = [
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ]
+        lib.bf_search.restype = None
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def csv_load_f32(path: str) -> np.ndarray:
+    """Fast CSV -> float32 array; falls back to np.genfromtxt."""
+    lib = _load()
+    if lib is None:
+        return np.genfromtxt(path, dtype=np.float32, delimiter=",")
+    rows = ctypes.c_int64()
+    cols = ctypes.c_int64()
+    if lib.csv_dims(path.encode(), ctypes.byref(rows), ctypes.byref(cols)) != 0:
+        raise FileNotFoundError(path)
+    out = np.empty((rows.value, cols.value), np.float32)
+    rc = lib.csv_parse_f32(path.encode(), out, rows.value, cols.value)
+    if rc != 0:
+        # ragged/odd file: defer to the tolerant numpy parser
+        return np.genfromtxt(path, dtype=np.float32, delimiter=",")
+    if cols.value == 1:
+        return out.reshape(-1)
+    return out
+
+
+def point_adjust_native(
+    predict: np.ndarray, actual: np.ndarray
+) -> Optional[Tuple[np.ndarray, float]]:
+    """In-place-style native point-adjust; returns None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pred = np.ascontiguousarray(np.asarray(predict, np.uint8))
+    act = np.ascontiguousarray(np.asarray(actual, np.uint8))
+    latency = lib.point_adjust(pred, act, pred.size)
+    return pred, float(latency)
+
+
+def bf_search_native(
+    score: np.ndarray, actual: np.ndarray, start: float, end: float, step_num: int
+) -> Optional[dict]:
+    lib = _load()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(np.asarray(score, np.float64))
+    a = np.ascontiguousarray(np.asarray(actual) > 0.1).astype(np.uint8)
+    out = np.zeros(9, np.float64)
+    lib.bf_search(s, a, s.size, float(start), float(end), int(step_num), out)
+    return {
+        "f1": out[0], "precision": out[1], "recall": out[2],
+        "TP": out[3], "TN": out[4], "FP": out[5], "FN": out[6],
+        "threshold": out[7], "latency": out[8],
+    }
