@@ -26,7 +26,10 @@ import time
 import numpy as np
 
 
-def bench_tpu(steps: int = 20, bs: int = 256) -> float:
+def bench_tpu(epochs: int = 4, batches_per_epoch: int = 50, bs: int = 256) -> float:
+    """Steady-state training throughput: each timed call is one jitted
+    lax.scan over ``batches_per_epoch`` train steps (gather + fwd + bwd +
+    adam), so per-call dispatch overhead is amortized like in real training."""
     import jax
     import jax.numpy as jnp
 
@@ -44,25 +47,29 @@ def bench_tpu(steps: int = 20, bs: int = 256) -> float:
                        log_tensorboard=False, seed=0)
     import tempfile
 
+    n_windows = batches_per_epoch * bs
+
     with tempfile.TemporaryDirectory() as tmp:
         trainer = Trainer(cfg, tcfg, save_path="", log_dir=tmp)
         state = trainer.init_state()
 
         rng = np.random.default_rng(0)
-        series = jnp.asarray(rng.standard_normal((bs + 200, 38)), jnp.float32)
-        starts, mask, _ = batched_starts(bs, bs)
+        series = jnp.asarray(
+            rng.standard_normal((n_windows + 200, 38)), jnp.float32
+        )
+        starts, mask, _ = batched_starts(n_windows, bs)
 
-        # warmup / compile
-        state, _ = trainer._epoch_train(state, series, starts, mask)
+        # warmup / compile (fetch to host: block_until_ready alone is not a
+        # reliable completion barrier on the remote-attached TPU platform)
         state, out = trainer._epoch_train(state, series, starts, mask)
-        jax.block_until_ready(out)
+        np.asarray(out[0])
 
         t0 = time.perf_counter()
-        for _ in range(steps):
+        for _ in range(epochs):
             state, out = trainer._epoch_train(state, series, starts, mask)
-        jax.block_until_ready(out)
+        np.asarray(out[0])  # forces completion of the whole chained sequence
         dt = time.perf_counter() - t0
-    return steps * bs / dt
+    return epochs * n_windows / dt
 
 
 def bench_torch_cpu(steps: int = 1, bs: int = 64) -> float:
