@@ -23,8 +23,12 @@ from mtad_gat_tpu.training import Trainer
 from mtad_gat_tpu.utils.plotting import plot_losses
 
 
-def run_training(cfg: RunConfig, run_id: str | None = None) -> str:
-    """Execute the full pipeline; returns the save path."""
+def run_training(
+    cfg: RunConfig, run_id: str | None = None, resume_from: str | None = None
+) -> str:
+    """Execute the full pipeline; returns the save path. ``resume_from``
+    restores a full train-state checkpoint (params + optimizer state + step)
+    before continuing — true resume, which the reference lacks (SURVEY.md §5)."""
     run_id = run_id or datetime.now().strftime("%d%m%Y_%H%M%S")
     dataset = cfg.dataset
     window_size = cfg.lookback
@@ -71,6 +75,9 @@ def run_training(cfg: RunConfig, run_id: str | None = None) -> str:
         log_dir=log_dir, args_summary=args_summary,
     )
     trainer.init_state()
+    if resume_from:
+        trainer.load_full(resume_from)
+        print(f"Resumed full train state from {resume_from} (step {int(trainer.state.step)})")
     trainer.fit(x_train)
 
     plot_losses(trainer.losses, save_path=save_path, plot=False)
@@ -107,9 +114,12 @@ def run_training(cfg: RunConfig, run_id: str | None = None) -> str:
 
 
 def main() -> None:
-    args = get_parser().parse_args()
+    parser = get_parser()
+    parser.add_argument("--resume_from", type=str, default="",
+                        help="path to a train_state.msgpack to resume from")
+    args = parser.parse_args()
     cfg = to_run_config(args)
-    run_training(cfg)
+    run_training(cfg, resume_from=args.resume_from or None)
 
 
 if __name__ == "__main__":
