@@ -1,0 +1,61 @@
+"""Multi-host runtime (SURVEY.md §2.7: a new first-class component — the
+reference is single-process single-device).
+
+On a TPU pod slice, each host process calls :func:`initialize` once before
+any jax computation; the global mesh then spans all hosts' devices, with DCN
+crossing handled by GSPMD exactly like ICI (collectives are inserted from the
+same ``constrain`` anchors). Data loading is per-host: each process feeds the
+window start-indices for its shard of the data axis via
+:func:`host_local_starts`.
+
+Single-host fallback is automatic, so all call sites are portable down to the
+8-device CPU test farm.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """``jax.distributed.initialize`` wrapper; no-op for single-process runs
+    (auto-detected when no coordinator is given and no TPU env is set)."""
+    if coordinator_address is None and num_processes is None:
+        # single-process (or TPU auto-bootstrap environment)
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-host: nothing to initialize
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def process_info() -> Tuple[int, int]:
+    return jax.process_index(), jax.process_count()
+
+
+def host_local_starts(
+    all_starts: np.ndarray, data_shards: int
+) -> np.ndarray:
+    """Slice a (n_batches, bs) epoch start-index array down to this host's
+    rows of the data axis. ``bs`` must be divisible by ``data_shards``; the
+    host keeps the contiguous column block matching its position so the
+    global array assembled across hosts equals the single-host layout."""
+    pid, pcount = process_info()
+    if pcount == 1:
+        return all_starts
+    bs = all_starts.shape[1]
+    assert bs % pcount == 0, f"batch {bs} not divisible by {pcount} hosts"
+    per = bs // pcount
+    return all_starts[:, pid * per : (pid + 1) * per]
