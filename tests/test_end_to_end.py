@@ -75,3 +75,19 @@ def test_full_pipeline(smd_like_root, tmp_path):
     plotter.plot_global_predictions(save_path=os.path.join(save_path, "global.png"))
     plotter.plot_anomaly_segments(save_path=os.path.join(save_path, "segments.png"))
     assert os.path.exists(os.path.join(save_path, "feat0.png"))
+
+    # standalone predict entry point on the trained run (predict.py surface)
+    import sys
+    from unittest import mock
+
+    from mtad_gat_tpu.cli import predict_cli
+
+    argv = [
+        "predict.py", "--dataset", "SMD", "--group", "1-1", "--model_id", "-1",
+        "--data_root", str(smd_like_root), "--output_root", str(out_root),
+        "--load_scores", "true",
+    ]
+    with mock.patch.object(sys, "argv", argv):
+        predict_cli.main()
+    # numbered summary written alongside the original
+    assert os.path.exists(os.path.join(save_path, "summary_1.txt"))
