@@ -48,6 +48,9 @@ class MTADGATConfig:
     # Attention implementation: "dense" (XLA einsum, the oracle path),
     # "pallas" (fused blockwise kernel), or "sparse" (COO SDDMM/SpMM path).
     attention_impl: str = "dense"
+    # Rematerialize the GAT layers in the backward pass (trade FLOPs for HBM;
+    # useful for long windows / large node counts).
+    remat_attention: bool = False
 
     def feat_embed_dim(self) -> int:
         """Effective feature-GAT embed dim (doubled for GATv2, reference
@@ -74,6 +77,13 @@ class TrainConfig:
     print_every: int = 1
     log_tensorboard: bool = True
     seed: int = 0                   # TPU extension: everything is seeded
+
+    # --- production-training extensions (defaults match the reference:
+    # plain Adam at a constant lr, no clipping) ---
+    grad_clip_norm: Optional[float] = None
+    lr_schedule: str = "constant"   # "constant" | "cosine" | "warmup_cosine"
+    lr_warmup_steps: int = 0
+    lr_decay_steps: int = 10000
 
 
 @dataclass

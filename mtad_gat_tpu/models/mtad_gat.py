@@ -48,19 +48,26 @@ class MTADGAT(nn.Module):
             compute_dtype=cd, name="conv",
         )(x)
 
-        h_feat = FeatureAttention(
+        feat_cls, temp_cls = FeatureAttention, TemporalAttention
+        if c.remat_attention:
+            # trade recompute for HBM: the GAT score tensors are the largest
+            # training-time residuals at long windows
+            feat_cls = nn.remat(FeatureAttention, static_argnums=(2,))
+            temp_cls = nn.remat(TemporalAttention, static_argnums=(2,))
+
+        h_feat = feat_cls(
             n_features=c.n_features, window_size=c.window_size,
             dropout=c.dropout, alpha=c.alpha, embed_dim=c.feat_gat_embed_dim,
             use_gatv2=c.use_gatv2, impl=c.attention_impl, compute_dtype=cd,
             name="feature_gat",
-        )(x, deterministic=deterministic)
+        )(x, deterministic)
 
-        h_temp = TemporalAttention(
+        h_temp = temp_cls(
             n_features=c.n_features, window_size=c.window_size,
             dropout=c.dropout, alpha=c.alpha, embed_dim=c.time_gat_embed_dim,
             use_gatv2=c.use_gatv2, impl=c.attention_impl, compute_dtype=cd,
             name="temporal_gat",
-        )(x, deterministic=deterministic)
+        )(x, deterministic)
 
         h_cat = jnp.concatenate([x, h_feat, h_temp], axis=2)  # (b, n, 3k)
         h_cat = constrain(h_cat, "data", None, None)

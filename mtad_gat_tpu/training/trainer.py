@@ -84,7 +84,7 @@ class Trainer:
         self.horizon = horizon
         self.window = model_config.window_size
         self.mesh = mesh  # optional jax.sharding.Mesh for multi-chip training
-        self.tx = optax.adam(train_config.init_lr)
+        self.tx = self._make_optimizer(train_config)
 
         self.losses = {
             "train_total": [],
@@ -104,6 +104,27 @@ class Trainer:
         self._build_steps()
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+        """Adam matching the reference's torch defaults (train.py:92), with
+        optional production extensions: global-norm clipping and cosine /
+        warmup-cosine schedules (all off by default)."""
+        if cfg.lr_schedule == "constant":
+            lr = cfg.init_lr
+        elif cfg.lr_schedule == "cosine":
+            lr = optax.cosine_decay_schedule(cfg.init_lr, cfg.lr_decay_steps)
+        elif cfg.lr_schedule == "warmup_cosine":
+            lr = optax.warmup_cosine_decay_schedule(
+                0.0, cfg.init_lr, cfg.lr_warmup_steps, cfg.lr_decay_steps
+            )
+        else:
+            raise ValueError(f"unknown lr_schedule {cfg.lr_schedule}")
+        parts = []
+        if cfg.grad_clip_norm is not None:
+            parts.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+        parts.append(optax.adam(lr))
+        return optax.chain(*parts)
+
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         seed = self.train_config.seed if seed is None else seed
         key = jax.random.PRNGKey(seed)

@@ -1,0 +1,116 @@
+"""Production-training extensions: remat, schedules, clipping, impl
+plumbing, and a learning-works end-to-end quality check."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mtad_gat_tpu.config import MTADGATConfig, TrainConfig
+from mtad_gat_tpu.data import synthetic_series
+from mtad_gat_tpu.models import MTADGAT
+from mtad_gat_tpu.training import Trainer
+
+
+def _cfgs(**over):
+    mc = MTADGATConfig(
+        n_features=5, window_size=12, out_dim=5, gru_hid_dim=16,
+        forecast_hid_dim=16, forecast_n_layers=1, recon_hid_dim=16,
+        recon_n_layers=1, dropout=0.1,
+        **{k: v for k, v in over.items() if hasattr(MTADGATConfig, k)},
+    )
+    tc = TrainConfig(
+        epochs=2, val_split=0.0, bs=16, init_lr=1e-3, log_tensorboard=False,
+        **{k: v for k, v in over.items() if hasattr(TrainConfig, k) and not hasattr(MTADGATConfig, k)},
+    )
+    return mc, tc
+
+
+def test_remat_matches_no_remat():
+    """Rematerialization must not change values or gradients."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 12, 5)), jnp.float32)
+    base = MTADGAT(MTADGATConfig(
+        n_features=5, window_size=12, out_dim=5, gru_hid_dim=8,
+        forecast_hid_dim=8, forecast_n_layers=1, recon_hid_dim=8,
+        recon_n_layers=1, dropout=0.0,
+    ))
+    remat = MTADGAT(MTADGATConfig(
+        n_features=5, window_size=12, out_dim=5, gru_hid_dim=8,
+        forecast_hid_dim=8, forecast_n_layers=1, recon_hid_dim=8,
+        recon_n_layers=1, dropout=0.0, remat_attention=True,
+    ))
+    params = base.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(model, p):
+        preds, recons = model.apply({"params": p}, x, True)
+        return jnp.sum(preds ** 2) + jnp.sum(recons ** 2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(base, p))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(remat, p))(params)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("schedule", ["cosine", "warmup_cosine"])
+def test_lr_schedules_train(schedule, tmp_path):
+    train, _, _ = synthetic_series(n_train=200, n_test=10, n_features=5)
+    mc, tc = _cfgs(lr_schedule=schedule, lr_warmup_steps=5, lr_decay_steps=50,
+                   grad_clip_norm=1.0)
+    trainer = Trainer(mc, tc, log_dir=str(tmp_path))
+    trainer.init_state()
+    trainer.fit(train)
+    assert np.isfinite(trainer.losses["train_total"]).all()
+
+
+def test_attention_impl_plumbing(tmp_path):
+    """config.attention_impl reaches the layers: sparse == dense end-to-end."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((3, 12, 5)), jnp.float32)
+    mk = lambda impl: MTADGAT(MTADGATConfig(
+        n_features=5, window_size=12, out_dim=5, gru_hid_dim=8,
+        forecast_hid_dim=8, forecast_n_layers=1, recon_hid_dim=8,
+        recon_n_layers=1, dropout=0.0, attention_impl=impl,
+    ))
+    dense, sparse = mk("dense"), mk("sparse")
+    params = dense.init(jax.random.PRNGKey(0), x)
+    pd, rd = dense.apply(params, x)
+    ps, rs = sparse.apply(params, x)
+    np.testing.assert_allclose(np.asarray(pd), np.asarray(ps), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(rs), atol=1e-5)
+
+
+def test_learning_detects_synthetic_anomalies(tmp_path):
+    """Full train->score->threshold on synthetic data must actually detect
+    the injected anomalies (bf-search F1 well above chance)."""
+    from mtad_gat_tpu.inference import Predictor
+
+    train, test, labels = synthetic_series(
+        n_train=800, n_test=400, n_features=6, anomaly_segments=3, seed=7
+    )
+    mc = MTADGATConfig(
+        n_features=6, window_size=16, out_dim=6, gru_hid_dim=32,
+        forecast_hid_dim=32, forecast_n_layers=1, recon_hid_dim=32,
+        recon_n_layers=1, dropout=0.1,
+    )
+    tc = TrainConfig(epochs=8, val_split=0.1, bs=32, init_lr=1e-3,
+                     log_tensorboard=False, seed=0)
+    trainer = Trainer(mc, tc, log_dir=str(tmp_path / "logs"))
+    trainer.init_state()
+    trainer.fit(train)
+    # training must have reduced the loss substantially
+    assert trainer.losses["train_total"][-1] < 0.7 * trainer.losses["train_total"][0]
+
+    predictor = Predictor(
+        trainer.model, trainer.state.params, 16, 6,
+        {
+            "dataset": "SMD", "target_dims": None, "scale_scores": False,
+            "q": 1e-3, "level": 0.98, "dynamic_pot": False, "use_mov_av": False,
+            "gamma": 1.0, "reg_level": 1, "save_path": str(tmp_path),
+        },
+        batch_size=32,
+    )
+    summary = predictor.predict_anomalies(train, test, labels[16:], save_output=False)
+    assert summary["bf_result"]["f1"] > 0.8, summary["bf_result"]
