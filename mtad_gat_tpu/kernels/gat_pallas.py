@@ -72,15 +72,19 @@ def _kernel(
     ep = p.shape[1]
 
     # SDDMM over embedding chunks: s_ij = sum_e a_e * leakyrelu(p_ie + q_je).
-    # Zero-padded a/p/q tail chunks contribute exactly 0.
+    # Zero-padded a/p/q tail chunks contribute exactly 0. The chunked (BI,
+    # BJ, EC) temporary is kept small enough to stay resident in VMEM (see
+    # _pick_e_chunk); elementwise work runs in the input dtype (bf16 halves
+    # VPU time), only the score accumulation is f32.
+    zdt = p.dtype
     s = jnp.zeros((bi, bj), jnp.float32)
     for c in range(ep // e_chunk):
-        pc = p[:, c * e_chunk : (c + 1) * e_chunk].astype(jnp.float32)
-        qc = q[:, c * e_chunk : (c + 1) * e_chunk].astype(jnp.float32)
-        ac = a[0, c * e_chunk : (c + 1) * e_chunk].astype(jnp.float32)
+        pc = p[:, c * e_chunk : (c + 1) * e_chunk]
+        qc = q[:, c * e_chunk : (c + 1) * e_chunk]
+        ac = a[0, c * e_chunk : (c + 1) * e_chunk].astype(zdt)
         z = pc[:, None, :] + qc[None, :, :]                  # (BI, BJ, EC)
-        z = jnp.where(z >= 0, z, alpha * z)                  # leaky_relu
-        s = s + jnp.sum(z * ac[None, None, :], axis=-1)
+        z = jnp.where(z >= 0, z, jnp.asarray(alpha, zdt) * z)  # leaky_relu
+        s = s + jnp.sum((z * ac[None, None, :]).astype(jnp.float32), axis=-1)
 
     if has_bias:
         s = s + bias_ref[...].astype(jnp.float32)
@@ -108,6 +112,16 @@ def _kernel(
         o_ref[0] = jax.nn.sigmoid(out).astype(o_ref.dtype)
 
 
+def _pick_e_chunk(block_i: int, block_j: int, dtype) -> int:
+    """Largest embedding chunk keeping the (BI, BJ, EC) SDDMM temporary
+    within ~1 MB so it stays VMEM-resident instead of spilling."""
+    bytes_per = 2 if dtype == jnp.bfloat16 else 4
+    budget = 1 << 20
+    ec = budget // (block_i * block_j * bytes_per)
+    ec = max(8, min(128, 1 << (ec.bit_length() - 1)))
+    return ec
+
+
 def _fused_forward(
     p: jax.Array, q: jax.Array, a: jax.Array, bias: Optional[jax.Array],
     v: jax.Array, alpha: float, interpret: bool,
@@ -117,7 +131,7 @@ def _fused_forward(
 
     block_i = min(128, _round_up(N, 8))
     block_j = min(128, _round_up(N, 128))
-    e_chunk = min(128, _round_up(E, 128))
+    e_chunk = _pick_e_chunk(block_i, block_j, p.dtype)
     Np = _round_up(N, max(block_i, block_j))
     Ep = _round_up(E, e_chunk)
     Dp = _round_up(D, 128)
