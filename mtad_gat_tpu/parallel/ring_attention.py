@@ -1,0 +1,116 @@
+"""Ring GATv2 attention: explicit blockwise attention over a sharded node set.
+
+The GSPMD path (``constrain`` anchors in ``nn/gat.py``) lets XLA all-gather
+the whole key side before computing — fine when N is small. This module is
+the *scalable* alternative for large node counts / long windows: node blocks
+stay sharded over the ``model`` mesh axis, and each step every shard
+
+  1. computes attention of its local query rows against the key/value block
+     it currently holds (online-softmax update), and
+  2. rotates that key/value block to its ring neighbor with ``ppermute``,
+
+so peak memory per chip is O(N/S) rows and the block exchange rides ICI
+neighbor links, overlapped by XLA with the local score/aggregation work.
+After S steps every shard has seen every block and holds the exact softmax
+aggregate of the full complete-graph attention — identical math to the dense
+oracle (tested), never materializing an (N, N) score matrix on any chip.
+
+This is the sequence/context-parallel form of the temporal GAT (nodes =
+timestamps) and the edge-partition form of the feature GAT (nodes =
+features): SURVEY.md §2.7.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _scores(p_blk: jax.Array, q_blk: jax.Array, a: jax.Array, alpha: float) -> jax.Array:
+    """Local GATv2 scores: (b, I, e) x (b, J, e) -> (b, I, J)."""
+    z = p_blk[:, :, None, :] + q_blk[:, None, :, :]
+    z = jax.nn.leaky_relu(z, negative_slope=alpha)
+    return jnp.einsum("bije,e->bij", z, a, preferred_element_type=jnp.float32)
+
+
+def ring_gatv2_attention(
+    p: jax.Array,            # (b, N, e) query-side projections
+    q: jax.Array,            # (b, N, e) key-side projections (+lin bias)
+    a: jax.Array,            # (e,)
+    bias: Optional[jax.Array],   # (N, N) or None
+    v: jax.Array,            # (b, N, d)
+    alpha: float,
+    mesh: Mesh,
+    axis: str = "model",
+) -> jax.Array:
+    """sigmoid(softmax_j(a . leakyrelu(p_i+q_j) + bias_ij) @ v) with the node
+    dimension sharded over ``axis`` and key/value blocks rotated on a ring."""
+    n_shards = mesh.shape[axis]
+    N = p.shape[1]
+    assert N % n_shards == 0, f"nodes {N} must divide shards {n_shards}"
+    nl = N // n_shards
+    has_bias = bias is not None
+    if bias is None:
+        bias = jnp.zeros((N, 1), p.dtype)  # placeholder, row-sharded
+
+    node_spec = P(None, axis, None)
+    bias_spec = P(axis, None)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(node_spec, node_spec, P(), bias_spec, node_spec),
+        out_specs=node_spec,
+        check_rep=False,
+    )
+    def run(p_l, q_l, a_r, bias_l, v_l):
+        # p_l: (b, nl, e) local query rows; q_l/v_l: local key/value block
+        rank = jax.lax.axis_index(axis)
+        b = p_l.shape[0]
+        d = v_l.shape[-1]
+        m = jnp.full((b, nl, 1), -1e30, jnp.float32)
+        l = jnp.zeros((b, nl, 1), jnp.float32)
+        acc = jnp.zeros((b, nl, d), jnp.float32)
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+        q_blk, v_blk = q_l, v_l
+        for step in range(n_shards):
+            # block currently held came from shard (rank - step) mod S
+            src = (rank - step) % n_shards
+            s = _scores(p_l, q_blk, a_r, alpha)           # (b, nl, nl)
+            if has_bias:
+                cols = jax.lax.dynamic_slice(
+                    bias_l, (0, src * nl), (nl, nl)
+                )
+                s = s + cols.astype(s.dtype)[None]
+            m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
+            corr = jnp.exp(m - m_new)
+            e_s = jnp.exp(s - m_new)
+            l = l * corr + jnp.sum(e_s, axis=2, keepdims=True)
+            acc = acc * corr + jnp.einsum(
+                "bij,bjd->bid", e_s, v_blk.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            m = m_new
+            if step + 1 < n_shards:
+                # rotate the k/v block to the next shard; XLA overlaps this
+                # ICI transfer with the next local block's compute
+                q_blk = jax.lax.ppermute(q_blk, axis, perm)
+                v_blk = jax.lax.ppermute(v_blk, axis, perm)
+
+        return jax.nn.sigmoid(acc / l).astype(v_l.dtype)
+
+    sharding = NamedSharding(mesh, node_spec)
+    p = jax.device_put(p, sharding)
+    q = jax.device_put(q, sharding)
+    v = jax.device_put(v, sharding)
+    bias = jax.device_put(bias, NamedSharding(mesh, bias_spec))
+    return run(p, q, a, bias, v)
