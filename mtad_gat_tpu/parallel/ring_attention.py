@@ -27,10 +27,16 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-try:
-    from jax import shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+def _shard_map(f, mesh, in_specs, out_specs):
+    """Version shim: jax>=0.8 uses jax.shard_map(check_vma=...), older
+    releases jax.experimental.shard_map.shard_map(check_rep=...)."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
+    from jax.experimental.shard_map import shard_map as _sm
+
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -65,11 +71,10 @@ def ring_gatv2_attention(
     bias_spec = P(axis, None)
 
     @functools.partial(
-        shard_map,
+        _shard_map,
         mesh=mesh,
         in_specs=(node_spec, node_spec, P(), bias_spec, node_spec),
         out_specs=node_spec,
-        check_rep=False,
     )
     def run(p_l, q_l, a_r, bias_l, v_l):
         # p_l: (b, nl, e) local query rows; q_l/v_l: local key/value block
