@@ -112,6 +112,26 @@ def _kernel(
         o_ref[0] = jax.nn.sigmoid(out).astype(o_ref.dtype)
 
 
+def _kernel_res(
+    p_ref, q_ref, a_ref, bias_ref, v_ref, o_ref, u_ref, m_ref, l_ref,
+    m_scr, l_scr, acc_scr,
+    *, alpha: float, n_nodes: int, block_j: int, e_chunk: int, has_bias: bool,
+):
+    """Forward with residuals: also writes the pre-sigmoid aggregate u and
+    the per-row softmax stats (m, l) used by the blockwise backward."""
+    _kernel(
+        p_ref, q_ref, a_ref, bias_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+        alpha=alpha, n_nodes=n_nodes, block_j=block_j, e_chunk=e_chunk,
+        has_bias=has_bias,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _write_residuals():
+        u_ref[0] = (acc_scr[...] / l_scr[:, 0:1]).astype(u_ref.dtype)
+        m_ref[0] = m_scr[...].astype(m_ref.dtype)
+        l_ref[0] = l_scr[...].astype(l_ref.dtype)
+
+
 def _pick_e_chunk(block_i: int, block_j: int, dtype) -> int:
     """Largest embedding chunk keeping the (BI, BJ, EC) SDDMM temporary
     within ~1 MB so it stays VMEM-resident instead of spilling."""
@@ -122,68 +142,404 @@ def _pick_e_chunk(block_i: int, block_j: int, dtype) -> int:
     return ec
 
 
+class _Plan:
+    """Blocking/padding plan shared by the forward and backward launches."""
+
+    def __init__(self, B, N, E, D, dtype):
+        self.B, self.N, self.E, self.D = B, N, E, D
+        self.block_i = min(128, _round_up(N, 8))
+        self.block_j = min(128, _round_up(N, 128))
+        self.e_chunk = _pick_e_chunk(self.block_i, self.block_j, dtype)
+        self.Np = _round_up(N, max(self.block_i, self.block_j))
+        self.Ep = _round_up(E, self.e_chunk)
+        self.Dp = _round_up(D, 128)
+        self.ni = self.Np // self.block_i
+        self.nj = self.Np // self.block_j
+
+    def pad3(self, x, n2, n3):
+        return jnp.pad(x, ((0, 0), (0, n2 - x.shape[1]), (0, n3 - x.shape[2])))
+
+    def pad_inputs(self, p, q, a, bias, v):
+        p_p = self.pad3(p, self.Np, self.Ep)
+        q_p = self.pad3(q, self.Np, self.Ep)
+        v_p = self.pad3(v, self.Np, self.Dp)
+        a_p = jnp.pad(a, (0, self.Ep - self.E)).reshape(1, self.Ep)
+        bias_p = (
+            jnp.pad(bias, ((0, self.Np - self.N), (0, self.Np - self.N)))
+            if bias is not None
+            else jnp.zeros((1, 1), jnp.float32)
+        )
+        return p_p, q_p, a_p, bias_p, v_p
+
+    def row_stats(self, x, pad_value: float = 0.0):
+        """(B, N) -> padded (B, Np, 128) broadcast over lanes. pad_value
+        matters for the backward's padded rows: m pads to +big (so recomputed
+        w = exp(s - m) underflows to 0) and l pads to 1 (no 0/0)."""
+        xp = jnp.pad(
+            x, ((0, 0), (0, self.Np - self.N)), constant_values=pad_value
+        )
+        return jnp.broadcast_to(xp[:, :, None], (self.B, self.Np, 128)).astype(jnp.float32)
+
+
 def _fused_forward(
     p: jax.Array, q: jax.Array, a: jax.Array, bias: Optional[jax.Array],
-    v: jax.Array, alpha: float, interpret: bool,
-) -> jax.Array:
+    v: jax.Array, alpha: float, interpret: bool, with_residuals: bool = False,
+):
     B, N, E = p.shape
     D = v.shape[-1]
-
-    block_i = min(128, _round_up(N, 8))
-    block_j = min(128, _round_up(N, 128))
-    e_chunk = _pick_e_chunk(block_i, block_j, p.dtype)
-    Np = _round_up(N, max(block_i, block_j))
-    Ep = _round_up(E, e_chunk)
-    Dp = _round_up(D, 128)
-
-    pad3 = lambda x, n2, n3: jnp.pad(
-        x, ((0, 0), (0, n2 - x.shape[1]), (0, n3 - x.shape[2]))
-    )
-    p_p = pad3(p, Np, Ep)
-    q_p = pad3(q, Np, Ep)
-    v_p = pad3(v, Np, Dp)
-    a_p = jnp.pad(a, (0, Ep - E)).reshape(1, Ep)
+    plan = _Plan(B, N, E, D, p.dtype)
     has_bias = bias is not None
+    p_p, q_p, a_p, bias_p, v_p = plan.pad_inputs(p, q, a, bias, v)
 
-    grid = (B, Np // block_i, Np // block_j)
+    grid = (B, plan.ni, plan.nj)
+    bi, bj, Ep, Dp, Np = plan.block_i, plan.block_j, plan.Ep, plan.Dp, plan.Np
     in_specs = [
-        pl.BlockSpec((1, block_i, Ep), lambda b, i, j: (b, i, 0)),
-        pl.BlockSpec((1, block_j, Ep), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, bi, Ep), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, bj, Ep), lambda b, i, j: (b, j, 0)),
         pl.BlockSpec((1, Ep), lambda b, i, j: (0, 0)),
+        (
+            pl.BlockSpec((bi, bj), lambda b, i, j: (i, j))
+            if has_bias
+            else pl.BlockSpec((1, 1), lambda b, i, j: (0, 0))
+        ),
+        pl.BlockSpec((1, bj, Dp), lambda b, i, j: (b, j, 0)),
     ]
-    operands = [p_p, q_p, a_p]
-    if has_bias:
-        bias_p = jnp.pad(bias, ((0, Np - N), (0, Np - N)))
-        in_specs.append(pl.BlockSpec((block_i, block_j), lambda b, i, j: (i, j)))
-        operands.append(bias_p)
-    else:
-        in_specs.append(pl.BlockSpec((1, 1), lambda b, i, j: (0, 0)))
-        operands.append(jnp.zeros((1, 1), jnp.float32))
-    in_specs.append(pl.BlockSpec((1, block_j, Dp), lambda b, i, j: (b, j, 0)))
-    operands.append(v_p)
-
-    kernel = functools.partial(
-        _kernel, alpha=alpha, n_nodes=N, block_j=block_j,
-        e_chunk=e_chunk, has_bias=has_bias,
+    operands = [p_p, q_p, a_p, bias_p, v_p]
+    scratch = [
+        pltpu.VMEM((bi, 128), jnp.float32),   # running max
+        pltpu.VMEM((bi, 128), jnp.float32),   # running denom
+        pltpu.VMEM((bi, Dp), jnp.float32),    # output accumulator
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
     )
+    kw = dict(alpha=alpha, n_nodes=N, block_j=bj, e_chunk=plan.e_chunk,
+              has_bias=has_bias)
 
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Np, Dp), v.dtype),
+    if not with_residuals:
+        out = pl.pallas_call(
+            functools.partial(_kernel, **kw),
+            out_shape=jax.ShapeDtypeStruct((B, Np, Dp), v.dtype),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bi, Dp), lambda b, i, j: (b, i, 0)),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=interpret,
+        )(*operands)
+        return out[:, :N, :D]
+
+    out, u, m, l = pl.pallas_call(
+        functools.partial(_kernel_res, **kw),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Np, Dp), v.dtype),
+            jax.ShapeDtypeStruct((B, Np, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Np, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, Np, 128), jnp.float32),
+        ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_i, Dp), lambda b, i, j: (b, i, 0)),
+        out_specs=(
+            pl.BlockSpec((1, bi, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bi, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bi, 128), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bi, 128), lambda b, i, j: (b, i, 0)),
+        ),
+        scratch_shapes=scratch,
+        compiler_params=params,
+        interpret=interpret,
+    )(*operands)
+    return (
+        out[:, :N, :D],
+        u[:, :N, :D],
+        m[:, :N, 0],
+        l[:, :N, 0],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blockwise backward (flash-style): recompute score tiles from the saved
+# per-row softmax stats (m, l); never materialize (N, N) anything in HBM.
+#
+# With w = softmax(s), u = w @ v, out = sigmoid(u), and incoming cotangent g:
+#   du   = g * out * (1 - out)
+#   Dvec_i = sum_d du_id * u_id
+#   ds_ij = w_ij * (du_i . v_j - Dvec_i)
+#   dv_j  = sum_i w_ij du_i
+#   dbias = sum_b ds
+#   dp_ie = sum_j ds_ij * a_e * lr'(z_ije),  dq_je = sum_i ds_ij * a_e * lr'
+#   da_e  = sum_ij ds_ij * lr(z_ije)
+# ---------------------------------------------------------------------------
+
+
+def _ds_tile(p, q, a, bias_blk, v, m_col, l_col, du, dvec_col,
+             *, alpha, n_nodes, block_j, e_chunk, has_bias, j_idx):
+    """Recompute w and ds for one (BI, BJ) tile. Returns (w, ds) in f32."""
+    bi, bj = p.shape[0], q.shape[0]
+    ep = p.shape[1]
+    zdt = p.dtype
+    s = jnp.zeros((bi, bj), jnp.float32)
+    for c in range(ep // e_chunk):
+        pc = p[:, c * e_chunk : (c + 1) * e_chunk]
+        qc = q[:, c * e_chunk : (c + 1) * e_chunk]
+        ac = a[0, c * e_chunk : (c + 1) * e_chunk].astype(zdt)
+        z = pc[:, None, :] + qc[None, :, :]
+        z = jnp.where(z >= 0, z, jnp.asarray(alpha, zdt) * z)
+        s = s + jnp.sum((z * ac[None, None, :]).astype(jnp.float32), axis=-1)
+    if has_bias:
+        s = s + bias_blk.astype(jnp.float32)
+    w = jnp.exp(s - m_col) / l_col
+    col = jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1) + j_idx * block_j
+    w = jnp.where(col < n_nodes, w, 0.0)
+    t = jnp.dot(du, v.astype(jnp.float32).T, preferred_element_type=jnp.float32)
+    ds = w * (t - dvec_col)
+    return w, ds
+
+
+def _bwd_dp_da_kernel(
+    p_ref, q_ref, a_ref, bias_ref, v_ref, m_ref, l_ref, du_ref, dvec_ref,
+    dp_ref, da_ref, dp_scr, da_scr,
+    *, alpha, n_nodes, block_j, e_chunk, has_bias,
+):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dp_scr[...] = jnp.zeros_like(dp_scr)
+        da_scr[...] = jnp.zeros_like(da_scr)
+
+    p, q, a = p_ref[0], q_ref[0], a_ref[...]
+    _, ds = _ds_tile(
+        p, q, a, bias_ref[...] if has_bias else None, v_ref[0],
+        m_ref[0][:, 0:1], l_ref[0][:, 0:1],
+        du_ref[0].astype(jnp.float32), dvec_ref[0][:, 0:1],
+        alpha=alpha, n_nodes=n_nodes, block_j=block_j, e_chunk=e_chunk,
+        has_bias=has_bias, j_idx=j,
+    )
+
+    zdt = p.dtype
+    ep = p.shape[1]
+    for c in range(ep // e_chunk):
+        sl = slice(c * e_chunk, (c + 1) * e_chunk)
+        z = p[:, sl][:, None, :] + q[:, sl][None, :, :]
+        lrp = jnp.where(z >= 0, 1.0, alpha)                      # (BI,BJ,EC)
+        lr_z = jnp.where(z >= 0, z, jnp.asarray(alpha, zdt) * z).astype(jnp.float32)
+        dp_scr[:, sl] += (
+            jnp.einsum("ij,ije->ie", ds, lrp, preferred_element_type=jnp.float32)
+            * a[0, sl].astype(jnp.float32)[None, :]
+        )
+        da_scr[0:1, sl] += jnp.einsum(
+            "ij,ije->e", ds, lr_z, preferred_element_type=jnp.float32
+        )[None, :]
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        dp_ref[0] = dp_scr[...].astype(dp_ref.dtype)
+        da_ref[0] = da_scr[...].astype(da_ref.dtype)
+
+
+def _bwd_dq_dv_kernel(
+    p_ref, q_ref, a_ref, bias_ref, v_ref, m_ref, l_ref, du_ref, dvec_ref,
+    dq_ref, dv_ref, dq_scr, dv_scr,
+    *, alpha, n_nodes, block_j, e_chunk, has_bias,
+):
+    i = pl.program_id(2)
+    ni = pl.num_programs(2)
+    j = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    p, q, a = p_ref[0], q_ref[0], a_ref[...]
+    du = du_ref[0].astype(jnp.float32)
+    w, ds = _ds_tile(
+        p, q, a, bias_ref[...] if has_bias else None, v_ref[0],
+        m_ref[0][:, 0:1], l_ref[0][:, 0:1], du, dvec_ref[0][:, 0:1],
+        alpha=alpha, n_nodes=n_nodes, block_j=block_j, e_chunk=e_chunk,
+        has_bias=has_bias, j_idx=j,
+    )
+
+    dv_scr[...] += jnp.dot(w.T, du, preferred_element_type=jnp.float32)
+
+    zdt = p.dtype
+    ep = p.shape[1]
+    for c in range(ep // e_chunk):
+        sl = slice(c * e_chunk, (c + 1) * e_chunk)
+        z = p[:, sl][:, None, :] + q[:, sl][None, :, :]
+        lrp = jnp.where(z >= 0, 1.0, alpha)
+        dq_scr[:, sl] += (
+            jnp.einsum("ij,ije->je", ds, lrp, preferred_element_type=jnp.float32)
+            * a[0, sl].astype(jnp.float32)[None, :]
+        )
+
+    @pl.when(i == ni - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_dbias_kernel(
+    p_ref, q_ref, a_ref, bias_ref, v_ref, m_ref, l_ref, du_ref, dvec_ref,
+    dbias_ref, dbias_scr,
+    *, alpha, n_nodes, block_j, e_chunk, has_bias,
+):
+    b = pl.program_id(2)
+    nb = pl.num_programs(2)
+    j = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _init():
+        dbias_scr[...] = jnp.zeros_like(dbias_scr)
+
+    _, ds = _ds_tile(
+        p_ref[0], q_ref[0], a_ref[...], bias_ref[...], v_ref[0],
+        m_ref[0][:, 0:1], l_ref[0][:, 0:1],
+        du_ref[0].astype(jnp.float32), dvec_ref[0][:, 0:1],
+        alpha=alpha, n_nodes=n_nodes, block_j=block_j, e_chunk=e_chunk,
+        has_bias=has_bias, j_idx=j,
+    )
+    dbias_scr[...] += ds
+
+    @pl.when(b == nb - 1)
+    def _finalize():
+        dbias_ref[...] = dbias_scr[...].astype(dbias_ref.dtype)
+
+
+def _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret):
+    B, N, E = p.shape
+    D = v.shape[-1]
+    plan = _Plan(B, N, E, D, p.dtype)
+    has_bias = bias is not None
+    bi, bj, Ep, Dp, Np = plan.block_i, plan.block_j, plan.Ep, plan.Dp, plan.Np
+
+    out = jax.nn.sigmoid(u)
+    du = (g.astype(jnp.float32) * out * (1.0 - out))             # (B,N,D)
+    dvec = jnp.sum(du * u, axis=-1)                              # (B,N)
+
+    p_p, q_p, a_p, bias_p, v_p = plan.pad_inputs(p, q, a, bias, v)
+    du_p = plan.pad3(du, Np, Dp)
+    m_p = plan.row_stats(m, pad_value=1e30)
+    l_p = plan.row_stats(l, pad_value=1.0)
+    dvec_p = plan.row_stats(dvec)
+
+    kw = dict(alpha=alpha, n_nodes=N, block_j=bj, e_chunk=plan.e_chunk,
+              has_bias=has_bias)
+    bias_spec_ij = (
+        pl.BlockSpec((bi, bj), lambda b, i, j: (i, j))
+        if has_bias
+        else pl.BlockSpec((1, 1), lambda b, i, j: (0, 0))
+    )
+
+    # --- pass 1: dp + da (grid (B, Ni, Nj), j arbitrary) ---
+    in_specs = [
+        pl.BlockSpec((1, bi, Ep), lambda b, i, j: (b, i, 0)),    # p
+        pl.BlockSpec((1, bj, Ep), lambda b, i, j: (b, j, 0)),    # q
+        pl.BlockSpec((1, Ep), lambda b, i, j: (0, 0)),           # a
+        bias_spec_ij,                                            # bias
+        pl.BlockSpec((1, bj, Dp), lambda b, i, j: (b, j, 0)),    # v
+        pl.BlockSpec((1, bi, 128), lambda b, i, j: (b, i, 0)),   # m
+        pl.BlockSpec((1, bi, 128), lambda b, i, j: (b, i, 0)),   # l
+        pl.BlockSpec((1, bi, Dp), lambda b, i, j: (b, i, 0)),    # du
+        pl.BlockSpec((1, bi, 128), lambda b, i, j: (b, i, 0)),   # dvec
+    ]
+    operands = [p_p, q_p, a_p, bias_p, v_p, m_p, l_p, du_p, dvec_p]
+    dp_pad, da_part = pl.pallas_call(
+        functools.partial(_bwd_dp_da_kernel, **kw),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Np, Ep), p.dtype),
+            jax.ShapeDtypeStruct((B, plan.ni * 8, Ep), jnp.float32),
+        ),
+        grid=(B, plan.ni, plan.nj),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, bi, Ep), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 8, Ep), lambda b, i, j: (b, i, 0)),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((block_i, 128), jnp.float32),   # running max
-            pltpu.VMEM((block_i, 128), jnp.float32),   # running denom
-            pltpu.VMEM((block_i, Dp), jnp.float32),    # output accumulator
+            pltpu.VMEM((bi, Ep), jnp.float32),
+            pltpu.VMEM((8, Ep), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(*operands)
-    return out[:, :N, :D]
+    dp = dp_pad[:, :N, :E]
+    da = jnp.sum(da_part, axis=(0, 1))[:E]
+
+    # --- pass 2: dq + dv (grid (B, Nj, Ni), i arbitrary) ---
+    bias_spec_ji = (
+        pl.BlockSpec((bi, bj), lambda b, j, i: (i, j))
+        if has_bias
+        else pl.BlockSpec((1, 1), lambda b, j, i: (0, 0))
+    )
+    in_specs2 = [
+        pl.BlockSpec((1, bi, Ep), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, bj, Ep), lambda b, j, i: (b, j, 0)),
+        pl.BlockSpec((1, Ep), lambda b, j, i: (0, 0)),
+        bias_spec_ji,
+        pl.BlockSpec((1, bj, Dp), lambda b, j, i: (b, j, 0)),
+        pl.BlockSpec((1, bi, 128), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, bi, 128), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, bi, Dp), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, bi, 128), lambda b, j, i: (b, i, 0)),
+    ]
+    dq_pad, dv_pad = pl.pallas_call(
+        functools.partial(_bwd_dq_dv_kernel, **kw),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Np, Ep), q.dtype),
+            jax.ShapeDtypeStruct((B, Np, Dp), v.dtype),
+        ),
+        grid=(B, plan.nj, plan.ni),
+        in_specs=in_specs2,
+        out_specs=(
+            pl.BlockSpec((1, bj, Ep), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bj, Dp), lambda b, j, i: (b, j, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bj, Ep), jnp.float32),
+            pltpu.VMEM((bj, Dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    dq = dq_pad[:, :N, :E]
+    dv = dv_pad[:, :N, :D]
+
+    if not has_bias:
+        return dp, dq, da, None, dv
+
+    # --- pass 3: dbias (grid (Ni, Nj, B), batch arbitrary) ---
+    in_specs3 = [
+        pl.BlockSpec((1, bi, Ep), lambda i, j, b: (b, i, 0)),
+        pl.BlockSpec((1, bj, Ep), lambda i, j, b: (b, j, 0)),
+        pl.BlockSpec((1, Ep), lambda i, j, b: (0, 0)),
+        pl.BlockSpec((bi, bj), lambda i, j, b: (i, j)),
+        pl.BlockSpec((1, bj, Dp), lambda i, j, b: (b, j, 0)),
+        pl.BlockSpec((1, bi, 128), lambda i, j, b: (b, i, 0)),
+        pl.BlockSpec((1, bi, 128), lambda i, j, b: (b, i, 0)),
+        pl.BlockSpec((1, bi, Dp), lambda i, j, b: (b, i, 0)),
+        pl.BlockSpec((1, bi, 128), lambda i, j, b: (b, i, 0)),
+    ]
+    dbias_pad = pl.pallas_call(
+        functools.partial(_bwd_dbias_kernel, **kw),
+        out_shape=jax.ShapeDtypeStruct((Np, Np), bias.dtype),
+        grid=(plan.ni, plan.nj, B),
+        in_specs=in_specs3,
+        out_specs=pl.BlockSpec((bi, bj), lambda i, j, b: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bi, bj), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    dbias = dbias_pad[:N, :N]
+    return dp, dq, da, dbias, dv
 
 
 def _dense_reference(p, q, a, bias, v, alpha):
@@ -197,21 +553,15 @@ def _fused(p, q, a, bias, v, alpha, interpret):
 
 
 def _fused_fwd(p, q, a, bias, v, alpha, interpret):
-    return _fused_forward(p, q, a, bias, v, alpha, interpret), (p, q, a, bias, v)
+    out, u, m, l = _fused_forward(
+        p, q, a, bias, v, alpha, interpret, with_residuals=True
+    )
+    return out, (p, q, a, bias, v, u, m, l)
 
 
 def _fused_bwd(alpha, interpret, res, g):
-    p, q, a, bias, v = res
-    if bias is None:
-        fn = lambda p_, q_, a_, v_: _dense_reference(p_, q_, a_, None, v_, alpha)
-        _, vjp = jax.vjp(fn, p, q, a, v)
-        dp, dq, da, dv = vjp(g)
-        return dp, dq, da, None, dv
-    _, vjp = jax.vjp(
-        lambda p_, q_, a_, b_, v_: _dense_reference(p_, q_, a_, b_, v_, alpha),
-        p, q, a, bias, v,
-    )
-    return vjp(g)
+    p, q, a, bias, v, u, m, l = res
+    return _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret)
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
