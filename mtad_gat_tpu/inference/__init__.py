@@ -6,7 +6,7 @@ from mtad_gat_tpu.inference.eval_methods import (
     find_epsilon,
     pot_eval,
 )
-from mtad_gat_tpu.inference.spot import SPOT
+from mtad_gat_tpu.inference.spot import SPOT, dSPOT, biSPOT, bidSPOT
 from mtad_gat_tpu.inference.predictor import Predictor
 
 __all__ = [
@@ -17,5 +17,8 @@ __all__ = [
     "find_epsilon",
     "pot_eval",
     "SPOT",
+    "dSPOT",
+    "biSPOT",
+    "bidSPOT",
     "Predictor",
 ]

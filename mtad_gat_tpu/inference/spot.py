@@ -15,10 +15,13 @@ This is a host-side (numpy/scipy) component by design — it is stateful and
 streaming, not a TPU hot path (SURVEY.md §7). The dynamic-mode re-fit reuses
 incremental peak bookkeeping but the same per-fit math.
 
-The two-sided (biSPOT/bidSPOT) variants in the reference are dead code never
-reached from its pipeline (SURVEY.md §2.5) and are intentionally not carried.
-The drift-aware dSPOT behavior (``--dynamic_pot``) is reached in the reference
-via ``SPOT.run(dynamic=True)``, which this class provides.
+Also provided for full inventory parity (reference ``spot.py:517-2090``):
+``dSPOT`` (drift-aware: subtracts a depth-window moving average before
+thresholding, ``spot.py:1070-1552``), ``biSPOT`` (two-sided upper+lower
+thresholds, ``spot.py:517-1057``) and ``bidSPOT`` (drift + two-sided,
+``spot.py:1554-2090``). The reference's pipeline never instantiates these
+(``--dynamic_pot`` routes through ``SPOT.run(dynamic=True)``), but they are
+part of its API surface.
 """
 
 from __future__ import annotations
@@ -28,6 +31,17 @@ from typing import Dict, Optional
 
 import numpy as np
 from scipy.optimize import minimize
+
+
+def back_mean(X: np.ndarray, d: int) -> np.ndarray:
+    """Running depth-d mean (reference ``spot.py:1060-1067``): returns
+    len(X) - d + 1 values, M[k] = mean(X[k : k + d])."""
+    X = np.asarray(X, dtype=np.float64)
+    c = np.cumsum(X)
+    sums = np.empty(len(X) - d + 1)
+    sums[0] = c[d - 1]
+    sums[1:] = c[d:] - c[:-d]
+    return sums / d
 
 
 class SPOT:
@@ -227,3 +241,296 @@ class SPOT:
                 self.n += 1
             th.append(self.extreme_quantile)
         return {"thresholds": th, "alarms": alarm}
+
+# ---------------------------------------------------------------------------
+# Variants: drift-aware and two-sided
+# ---------------------------------------------------------------------------
+
+
+def _fit_gpd(peaks: np.ndarray):
+    """Grimshaw GPD fit on a peak set, reusing SPOT's guarded machinery."""
+    tmp = SPOT()
+    tmp.peaks = np.asarray(peaks, dtype=np.float64)
+    return tmp._grimshaw()
+
+
+def _gpd_quantile(init_threshold: float, n: int, proba: float, Nt: int,
+                  gamma: float, sigma: float, upper: bool = True) -> float:
+    r = n * proba / Nt
+    if gamma != 0:
+        d = (sigma / gamma) * (pow(r, -gamma) - 1)
+    else:
+        d = -sigma * log(r)
+    return init_threshold + d if upper else init_threshold - d
+
+
+class dSPOT:
+    """Drift-aware SPOT (reference ``spot.py:1070-1552``): subtract a depth-
+    window moving average before thresholding; the initial threshold is the
+    empirical 0.98 quantile of the drift-corrected calibration values
+    (hardcoded in the reference, ``spot.py:1227``)."""
+
+    def __init__(self, q: float, depth: int):
+        self.proba = q
+        self.depth = depth
+        self.extreme_quantile: Optional[float] = None
+        self.data: Optional[np.ndarray] = None
+        self.init_data: Optional[np.ndarray] = None
+        self.init_threshold: Optional[float] = None
+        self.peaks: Optional[np.ndarray] = None
+        self.n = 0
+        self.Nt = 0
+
+    fit = SPOT.fit
+    add = SPOT.add
+
+    def initialize(self, verbose: bool = False) -> None:
+        n_init = self.init_data.size - self.depth
+        M = back_mean(self.init_data, self.depth)
+        T = self.init_data[self.depth:] - M[:-1]
+
+        S = np.sort(T)
+        self.init_threshold = S[int(0.98 * n_init)]
+        self.peaks = T[T > self.init_threshold] - self.init_threshold
+        self.Nt = self.peaks.size
+        self.n = n_init
+        if self.Nt == 0:
+            self.extreme_quantile = float(self.init_threshold)
+            return
+        g, s, _ = _fit_gpd(self.peaks)
+        self.extreme_quantile = _gpd_quantile(
+            self.init_threshold, self.n, self.proba, self.Nt, g, s
+        )
+        if verbose:
+            print(f"Initial threshold : {self.init_threshold}")
+            print(f"Number of peaks : {self.Nt}")
+            print(f"Extreme quantile : {self.extreme_quantile}")
+
+    def _refit(self) -> None:
+        g, s, _ = _fit_gpd(self.peaks)
+        self.extreme_quantile = _gpd_quantile(
+            self.init_threshold, self.n, self.proba, self.Nt, g, s
+        )
+
+    def run(self, with_alarm: bool = True) -> Dict:
+        if self.n > self.init_data.size:
+            print("Warning: algorithm already run, initialize before running again")
+            return {}
+        W = self.init_data[-self.depth:]
+        th, alarm = [], []
+        for i in range(self.data.size):
+            Mi = W.mean()
+            x = self.data[i] - Mi
+            if x > self.extreme_quantile:
+                if with_alarm:
+                    alarm.append(i)  # drift window freezes during alarms
+                else:
+                    self.peaks = np.append(self.peaks, x - self.init_threshold)
+                    self.Nt += 1
+                    self.n += 1
+                    self._refit()
+                    W = np.append(W[1:], self.data[i])
+            elif x > self.init_threshold:
+                self.peaks = np.append(self.peaks, x - self.init_threshold)
+                self.Nt += 1
+                self.n += 1
+                self._refit()
+                W = np.append(W[1:], self.data[i])
+            else:
+                self.n += 1
+                W = np.append(W[1:], self.data[i])
+            th.append(self.extreme_quantile + Mi)
+        return {"thresholds": th, "alarms": alarm}
+
+
+class biSPOT:
+    """Two-sided SPOT (reference ``spot.py:517-1057``): separate GPD tails
+    above the 0.98 and below the 0.02 empirical quantiles."""
+
+    def __init__(self, q: float = 1e-4):
+        self.proba = q
+        self.data: Optional[np.ndarray] = None
+        self.init_data: Optional[np.ndarray] = None
+        self.extreme_quantile = {"up": None, "down": None}
+        self.init_threshold = {"up": None, "down": None}
+        self.peaks = {"up": None, "down": None}
+        self.gamma = {"up": 0.0, "down": 0.0}
+        self.sigma = {"up": 0.0, "down": 0.0}
+        self.Nt = {"up": 0, "down": 0}
+        self.n = 0
+
+    fit = SPOT.fit
+    add = SPOT.add
+
+    def initialize(self, verbose: bool = False) -> None:
+        n_init = self.init_data.size
+        S = np.sort(self.init_data)
+        self.init_threshold["up"] = S[int(0.98 * n_init)]
+        self.init_threshold["down"] = S[int(0.02 * n_init)]
+        self.peaks["up"] = (
+            self.init_data[self.init_data > self.init_threshold["up"]]
+            - self.init_threshold["up"]
+        )
+        self.peaks["down"] = -(
+            self.init_data[self.init_data < self.init_threshold["down"]]
+            - self.init_threshold["down"]
+        )
+        self.Nt = {side: self.peaks[side].size for side in ("up", "down")}
+        self.n = n_init
+        for side in ("up", "down"):
+            self._refit(side)
+        if verbose:
+            print(f"Initial thresholds : {self.init_threshold}")
+            print(f"Extreme quantiles : {self.extreme_quantile}")
+
+    def _refit(self, side: str) -> None:
+        if self.Nt[side] == 0:
+            self.extreme_quantile[side] = float(self.init_threshold[side])
+            return
+        g, s, _ = _fit_gpd(self.peaks[side])
+        self.gamma[side], self.sigma[side] = g, s
+        self.extreme_quantile[side] = _gpd_quantile(
+            self.init_threshold[side], self.n, self.proba, self.Nt[side],
+            g, s, upper=(side == "up"),
+        )
+
+    def run(self, with_alarm: bool = True) -> Dict:
+        if self.n > self.init_data.size:
+            print("Warning: algorithm already run, initialize before running again")
+            return {}
+        thup, thdown, alarm = [], [], []
+        for i in range(self.data.size):
+            x = self.data[i]
+            if x > self.extreme_quantile["up"]:
+                if with_alarm:
+                    alarm.append(i)
+                else:
+                    self.peaks["up"] = np.append(
+                        self.peaks["up"], x - self.init_threshold["up"]
+                    )
+                    self.Nt["up"] += 1
+                    self.n += 1
+                    self._refit("up")
+            elif x > self.init_threshold["up"]:
+                self.peaks["up"] = np.append(
+                    self.peaks["up"], x - self.init_threshold["up"]
+                )
+                self.Nt["up"] += 1
+                self.n += 1
+                self._refit("up")
+            elif x < self.extreme_quantile["down"]:
+                if with_alarm:
+                    alarm.append(i)
+                else:
+                    self.peaks["down"] = np.append(
+                        self.peaks["down"], -(x - self.init_threshold["down"])
+                    )
+                    self.Nt["down"] += 1
+                    self.n += 1
+                    self._refit("down")
+            elif x < self.init_threshold["down"]:
+                self.peaks["down"] = np.append(
+                    self.peaks["down"], -(x - self.init_threshold["down"])
+                )
+                self.Nt["down"] += 1
+                self.n += 1
+                self._refit("down")
+            else:
+                self.n += 1
+            thup.append(self.extreme_quantile["up"])
+            thdown.append(self.extreme_quantile["down"])
+        return {"upper_thresholds": thup, "lower_thresholds": thdown, "alarms": alarm}
+
+
+class bidSPOT:
+    """Drift-aware two-sided SPOT (reference ``spot.py:1554-2090``)."""
+
+    def __init__(self, q: float = 1e-4, depth: int = 10):
+        self.proba = q
+        self.depth = depth
+        self.data: Optional[np.ndarray] = None
+        self.init_data: Optional[np.ndarray] = None
+        self.extreme_quantile = {"up": None, "down": None}
+        self.init_threshold = {"up": None, "down": None}
+        self.peaks = {"up": None, "down": None}
+        self.gamma = {"up": 0.0, "down": 0.0}
+        self.sigma = {"up": 0.0, "down": 0.0}
+        self.Nt = {"up": 0, "down": 0}
+        self.n = 0
+
+    fit = SPOT.fit
+    add = SPOT.add
+    _refit = biSPOT._refit
+
+    def initialize(self, verbose: bool = False) -> None:
+        n_init = self.init_data.size - self.depth
+        M = back_mean(self.init_data, self.depth)
+        T = self.init_data[self.depth:] - M[:-1]
+        S = np.sort(T)
+        self.init_threshold["up"] = S[int(0.98 * n_init)]
+        self.init_threshold["down"] = S[int(0.02 * n_init)]
+        self.peaks["up"] = T[T > self.init_threshold["up"]] - self.init_threshold["up"]
+        self.peaks["down"] = -(
+            T[T < self.init_threshold["down"]] - self.init_threshold["down"]
+        )
+        self.Nt = {side: self.peaks[side].size for side in ("up", "down")}
+        self.n = n_init
+        for side in ("up", "down"):
+            self._refit(side)
+        if verbose:
+            print(f"Initial thresholds : {self.init_threshold}")
+            print(f"Extreme quantiles : {self.extreme_quantile}")
+
+    def run(self, with_alarm: bool = True) -> Dict:
+        if self.n > self.init_data.size:
+            print("Warning: algorithm already run, initialize before running again")
+            return {}
+        W = self.init_data[-self.depth:]
+        thup, thdown, alarm = [], [], []
+        for i in range(self.data.size):
+            Mi = W.mean()
+            x = self.data[i] - Mi
+            if x > self.extreme_quantile["up"]:
+                if with_alarm:
+                    alarm.append(i)  # drift window freezes during alarms
+                else:
+                    self.peaks["up"] = np.append(
+                        self.peaks["up"], x - self.init_threshold["up"]
+                    )
+                    self.Nt["up"] += 1
+                    self.n += 1
+                    self._refit("up")
+                    W = np.append(W[1:], self.data[i])
+            elif x > self.init_threshold["up"]:
+                self.peaks["up"] = np.append(
+                    self.peaks["up"], x - self.init_threshold["up"]
+                )
+                self.Nt["up"] += 1
+                self.n += 1
+                self._refit("up")
+                W = np.append(W[1:], self.data[i])
+            elif x < self.extreme_quantile["down"]:
+                if with_alarm:
+                    alarm.append(i)
+                else:
+                    self.peaks["down"] = np.append(
+                        self.peaks["down"], -(x - self.init_threshold["down"])
+                    )
+                    self.Nt["down"] += 1
+                    self.n += 1
+                    self._refit("down")
+                    W = np.append(W[1:], self.data[i])
+            elif x < self.init_threshold["down"]:
+                self.peaks["down"] = np.append(
+                    self.peaks["down"], -(x - self.init_threshold["down"])
+                )
+                self.Nt["down"] += 1
+                self.n += 1
+                self._refit("down")
+                W = np.append(W[1:], self.data[i])
+            else:
+                self.n += 1
+                W = np.append(W[1:], self.data[i])
+            thup.append(self.extreme_quantile["up"] + Mi)
+            thdown.append(self.extreme_quantile["down"] + Mi)
+        return {"upper_thresholds": thup, "lower_thresholds": thdown, "alarms": alarm}
