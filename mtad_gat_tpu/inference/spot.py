@@ -35,13 +35,18 @@ from scipy.optimize import minimize
 
 def back_mean(X: np.ndarray, d: int) -> np.ndarray:
     """Running depth-d mean (reference ``spot.py:1060-1067``): returns
-    len(X) - d + 1 values, M[k] = mean(X[k : k + d])."""
+    len(X) - d + 1 values, M[k] = mean(X[k : k + d]). Uses the reference's
+    exact rolling-update accumulation order — the Grimshaw root search is
+    chaotic in the last float bits, so bit-exact inputs are required for
+    threshold parity."""
     X = np.asarray(X, dtype=np.float64)
-    c = np.cumsum(X)
-    sums = np.empty(len(X) - d + 1)
-    sums[0] = c[d - 1]
-    sums[1:] = c[d:] - c[:-d]
-    return sums / d
+    M = np.empty(len(X) - d + 1)
+    w = X[:d].sum()
+    M[0] = w / d
+    for i in range(d, len(X)):
+        w = w - X[i - d] + X[i]
+        M[i - d + 1] = w / d
+    return M
 
 
 class SPOT:
@@ -131,8 +136,10 @@ class SPOT:
         opt = minimize(
             obj, X0, method="L-BFGS-B", jac=True, bounds=[bounds] * len(X0)
         )
-        X = np.round(opt.x, decimals=5)
-        return np.unique(X)
+        # NOTE: the reference computes np.round(X, decimals=5) but discards
+        # the result (spot.py:271) — the roots are used UNROUNDED. Kept
+        # as-is: the chosen GPD root (and hence POT thresholds) depends on it.
+        return np.unique(opt.x)
 
     @staticmethod
     def _log_likelihood(Y: np.ndarray, gamma: float, sigma: float) -> float:
@@ -247,11 +254,11 @@ class SPOT:
 # ---------------------------------------------------------------------------
 
 
-def _fit_gpd(peaks: np.ndarray):
+def _fit_gpd(peaks: np.ndarray, n_points: int = 10):
     """Grimshaw GPD fit on a peak set, reusing SPOT's guarded machinery."""
     tmp = SPOT()
     tmp.peaks = np.asarray(peaks, dtype=np.float64)
-    return tmp._grimshaw()
+    return tmp._grimshaw(n_points=n_points)
 
 
 def _gpd_quantile(init_threshold: float, n: int, proba: float, Nt: int,
@@ -383,11 +390,15 @@ class biSPOT:
             print(f"Initial thresholds : {self.init_threshold}")
             print(f"Extreme quantiles : {self.extreme_quantile}")
 
+    # the reference uses 10 Grimshaw candidate points in SPOT/dSPOT/biSPOT
+    # but 8 in bidSPOT (spot.py:1835) — bidSPOT overrides this
+    _grimshaw_points = 10
+
     def _refit(self, side: str) -> None:
         if self.Nt[side] == 0:
             self.extreme_quantile[side] = float(self.init_threshold[side])
             return
-        g, s, _ = _fit_gpd(self.peaks[side])
+        g, s, _ = _fit_gpd(self.peaks[side], n_points=self._grimshaw_points)
         self.gamma[side], self.sigma[side] = g, s
         self.extreme_quantile[side] = _gpd_quantile(
             self.init_threshold[side], self.n, self.proba, self.Nt[side],
@@ -444,6 +455,8 @@ class biSPOT:
 
 class bidSPOT:
     """Drift-aware two-sided SPOT (reference ``spot.py:1554-2090``)."""
+
+    _grimshaw_points = 8  # reference quirk: bidSPOT fits with 8 candidates
 
     def __init__(self, q: float = 1e-4, depth: int = 10):
         self.proba = q
