@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 
-def tpu_healthy(timeout: float = 90.0) -> bool:
+def tpu_healthy(timeout: float = 300.0) -> bool:
     """Probe the TPU in a subprocess: a wedged remote attach hangs forever,
     which would otherwise take the whole benchmark down with it."""
     import subprocess
