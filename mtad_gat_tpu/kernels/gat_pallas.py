@@ -5,29 +5,39 @@ Computes, for each destination node i over a complete graph:
     out_i = sigmoid( sum_j softmax_j( a . leakyrelu(p_i + q_j) + bias_ij ) v_j )
 
 in flash-attention style: the (N, N) score matrix is never materialized in
-HBM. The grid is (batch, i-blocks, j-blocks) with the j dimension as the
-online-softmax reduction: per j-block the kernel computes an (BI, BJ) score
-tile chunk-by-chunk over the embedding dimension (the SDDMM — additive GATv2
-scores have no QK^T matmul structure, so this part is VPU work), updates the
-running max/denominator, and accumulates ``exp(s - m) @ v`` on the MXU.
+HBM. The grid is (batch, i-blocks, j-blocks, e-chunks) with the j dimension
+as the online-softmax reduction and the embedding-chunk dimension innermost:
+each grid step computes one (BI, BJ, EC) piece of the SDDMM (additive GATv2
+scores have no QK^T matmul structure, so this part is VPU work) and
+accumulates it into a VMEM score tile; when the last chunk of a tile lands,
+the kernel performs the online max/denominator update and accumulates
+``exp(s - m) @ v`` on the MXU.
 
 This replaces the reference's (b, N, N, 2d) repeat_interleave concat tensor
 (``modules.py:97-122``) — its single most memory-hungry op — with an
-O(BI * BJ * chunk) VMEM working set, making window/node counts of 4k+
+O(BI * BJ * EC) VMEM working set, making window/node counts of 4k+
 feasible on a single chip.
 
-Performance note (measured on TPU v5e): additive GATv2 scores are O(N^2 E)
-VPU work with no matmul structure, and XLA's fused broadcast+reduce on the
-decomposed dense path (``graph/ops.py``) already runs near VPU
-speed-of-light at the reference's node counts (N in 38..100), so ``dense``
-remains the default production path. This kernel is the bounded-memory path
-for very large node counts where the (b, N, N) score tensor and its softmax
-re-reads stop fitting: it keeps HBM traffic at O(N * E + N * D) per row
-block regardless of N.
+Mosaic (TPU v5e) lowering constraints that shaped this design, all measured:
 
-Backward: the fused forward is wrapped in a custom_vjp whose backward
-recomputes through the decomposed dense path (exact same math); a fully
-blockwise backward is a follow-up optimization.
+- bf16 sublane-broadcasts fail to lower (``vector<40x1x64xbf16>`` shape
+  casts are rejected), so the kernel's VMEM-resident elementwise math is
+  f32; HBM traffic stays in the input dtype (bf16 halves bandwidth).
+- Temporaries of a Python-unrolled loop are stack-allocated WITHOUT reuse
+  (a 7-chunk unrolled SDDMM overflows the 16 MB scoped-vmem limit), so the
+  forward puts the chunk axis in the Pallas grid — one chunk's temporaries
+  live at a time, and chunk DMA overlaps compute for free. The backward
+  kernels keep an unrolled chunk loop but shrink their row block so the
+  whole unrolled footprint fits, falling back to dense-recompute math
+  (identical values) when the embedding is too wide for any row block.
+
+Performance note: additive GATv2 scores are O(N^2 E) VPU work with no matmul
+structure, and XLA's fused broadcast+reduce on the decomposed dense path
+(``graph/ops.py``) already runs near VPU speed-of-light at the reference's
+node counts (N in 38..100), so ``dense`` remains the default production path.
+This kernel is the bounded-memory path for very large node counts where the
+(b, N, N) score tensor and its softmax re-reads stop fitting: it keeps HBM
+traffic at O(N * E + N * D) per row block regardless of N.
 """
 
 from __future__ import annotations
@@ -51,62 +61,56 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(
     p_ref, q_ref, a_ref, bias_ref, v_ref, o_ref,
-    m_scr, l_scr, acc_scr,
-    *, alpha: float, n_nodes: int, block_j: int, e_chunk: int, has_bias: bool,
+    s_scr, m_scr, l_scr, acc_scr,
+    *, alpha: float, n_nodes: int, block_j: int, has_bias: bool,
 ):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
+    c = pl.program_id(3)
+    nc = pl.num_programs(3)
 
-    @pl.when(j == 0)
-    def _init():
+    @pl.when((j == 0) & (c == 0))
+    def _init_row():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    p = p_ref[0]            # (BI, ep)
-    q = q_ref[0]            # (BJ, ep)
-    a = a_ref[...]          # (1, ep)
+    @pl.when(c == 0)
+    def _init_tile():
+        s_scr[...] = jnp.zeros_like(s_scr)
 
-    bi = p.shape[0]
-    bj = q.shape[0]
-    ep = p.shape[1]
+    # One SDDMM chunk: s_ij += sum_e a_e * leakyrelu(p_ie + q_je) over this
+    # chunk's embedding lanes. Zero-padded a/p/q tails contribute exactly 0.
+    pc = p_ref[0].astype(jnp.float32)            # (BI, EC)
+    qc = q_ref[0].astype(jnp.float32)            # (BJ, EC)
+    ac = a_ref[...].astype(jnp.float32)[0]       # (EC,)
+    z = pc[:, None, :] + qc[None, :, :]          # (BI, BJ, EC)
+    z = jnp.where(z >= 0, z, alpha * z)          # leaky_relu
+    s_scr[...] += jnp.sum(z * ac[None, None, :], axis=-1)
 
-    # SDDMM over embedding chunks: s_ij = sum_e a_e * leakyrelu(p_ie + q_je).
-    # Zero-padded a/p/q tail chunks contribute exactly 0. The chunked (BI,
-    # BJ, EC) temporary is kept small enough to stay resident in VMEM (see
-    # _pick_e_chunk); elementwise work runs in the input dtype (bf16 halves
-    # VPU time), only the score accumulation is f32.
-    zdt = p.dtype
-    s = jnp.zeros((bi, bj), jnp.float32)
-    for c in range(ep // e_chunk):
-        pc = p[:, c * e_chunk : (c + 1) * e_chunk]
-        qc = q[:, c * e_chunk : (c + 1) * e_chunk]
-        ac = a[0, c * e_chunk : (c + 1) * e_chunk].astype(zdt)
-        z = pc[:, None, :] + qc[None, :, :]                  # (BI, BJ, EC)
-        z = jnp.where(z >= 0, z, jnp.asarray(alpha, zdt) * z)  # leaky_relu
-        s = s + jnp.sum((z * ac[None, None, :]).astype(jnp.float32), axis=-1)
+    @pl.when(c == nc - 1)
+    def _softmax_update():
+        s = s_scr[...]
+        if has_bias:
+            s = s + bias_ref[...].astype(jnp.float32)
+        # mask padded key columns
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_j
+        s = jnp.where(col < n_nodes, s, NEG_INF)
 
-    if has_bias:
-        s = s + bias_ref[...].astype(jnp.float32)
+        m_prev = m_scr[:, 0:1]                   # (BI, 1)
+        l_prev = l_scr[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        e_s = jnp.exp(s - m_new)                 # (BI, BJ)
+        l_new = l_prev * corr + jnp.sum(e_s, axis=1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * corr + jnp.dot(
+            e_s, v_ref[0].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
-    # mask padded key columns
-    col = jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1) + j * block_j
-    s = jnp.where(col < n_nodes, s, NEG_INF)
-
-    # online softmax update
-    m_prev = m_scr[:, 0:1]                                   # (BI, 1)
-    l_prev = l_scr[:, 0:1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    corr = jnp.exp(m_prev - m_new)
-    e_s = jnp.exp(s - m_new)                                 # (BI, BJ)
-    l_new = l_prev * corr + jnp.sum(e_s, axis=1, keepdims=True)
-    acc_scr[...] = acc_scr[...] * corr + jnp.dot(
-        e_s, v_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32
-    )
-    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
-
-    @pl.when(j == nj - 1)
+    @pl.when((j == nj - 1) & (c == nc - 1))
     def _finalize():
         out = acc_scr[...] / l_scr[:, 0:1]
         o_ref[0] = jax.nn.sigmoid(out).astype(o_ref.dtype)
@@ -114,71 +118,91 @@ def _kernel(
 
 def _kernel_res(
     p_ref, q_ref, a_ref, bias_ref, v_ref, o_ref, u_ref, m_ref, l_ref,
-    m_scr, l_scr, acc_scr,
-    *, alpha: float, n_nodes: int, block_j: int, e_chunk: int, has_bias: bool,
+    s_scr, m_scr, l_scr, acc_scr,
+    *, alpha: float, n_nodes: int, block_j: int, has_bias: bool,
 ):
     """Forward with residuals: also writes the pre-sigmoid aggregate u and
     the per-row softmax stats (m, l) used by the blockwise backward."""
     _kernel(
-        p_ref, q_ref, a_ref, bias_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-        alpha=alpha, n_nodes=n_nodes, block_j=block_j, e_chunk=e_chunk,
-        has_bias=has_bias,
+        p_ref, q_ref, a_ref, bias_ref, v_ref, o_ref,
+        s_scr, m_scr, l_scr, acc_scr,
+        alpha=alpha, n_nodes=n_nodes, block_j=block_j, has_bias=has_bias,
     )
 
-    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    @pl.when(
+        (pl.program_id(2) == pl.num_programs(2) - 1)
+        & (pl.program_id(3) == pl.num_programs(3) - 1)
+    )
     def _write_residuals():
         u_ref[0] = (acc_scr[...] / l_scr[:, 0:1]).astype(u_ref.dtype)
         m_ref[0] = m_scr[...].astype(m_ref.dtype)
         l_ref[0] = l_scr[...].astype(l_ref.dtype)
 
 
-def _pick_e_chunk(block_i: int, block_j: int, dtype) -> int:
-    """Largest embedding chunk keeping the (BI, BJ, EC) SDDMM temporary
-    within ~1 MB so it stays VMEM-resident instead of spilling."""
-    bytes_per = 2 if dtype == jnp.bfloat16 else 4
-    budget = 1 << 20
-    ec = budget // (block_i * block_j * bytes_per)
-    ec = max(8, min(128, 1 << (ec.bit_length() - 1)))
-    return ec
-
-
 class _Plan:
-    """Blocking/padding plan shared by the forward and backward launches."""
+    """Blocking/padding plan shared by the forward and backward launches.
 
-    def __init__(self, B, N, E, D, dtype):
+    Forward: one (BI, BJ, EC) f32 temporary set is live per grid step (the
+    chunk axis is a grid dimension), so BI is sized against a fixed VMEM
+    budget with EC <= 128 lanes. Backward: the chunk loop is unrolled inside
+    the kernel and Mosaic keeps every unrolled temporary live at once, so the
+    backward row block shrinks with the padded embedding width Ep and the
+    launch is declared infeasible (dense-recompute fallback) when even an
+    8-row block would overflow scoped VMEM."""
+
+    def __init__(self, B, N, E, D, dtype=None):
         self.B, self.N, self.E, self.D = B, N, E, D
-        self.block_i = min(128, _round_up(N, 8))
-        self.block_j = min(128, _round_up(N, 128))
-        self.e_chunk = _pick_e_chunk(self.block_i, self.block_j, dtype)
-        self.Np = _round_up(N, max(self.block_i, self.block_j))
-        self.Ep = _round_up(E, self.e_chunk)
+        self.block_j = 128
+        self.ec = min(128, _round_up(E, 8))
+        self.Ep = _round_up(E, self.ec)
+        self.nc = self.Ep // self.ec
         self.Dp = _round_up(D, 128)
-        self.ni = self.Np // self.block_i
-        self.nj = self.Np // self.block_j
+
+        # ~4 (BI, BJ, EC) f32 temporaries live per forward grid step
+        fwd_budget = 6 << 20
+        bi = fwd_budget // (16 * self.block_j * self.ec)
+        self.block_i = max(8, min(128, _round_up(N, 8), (bi // 8) * 8))
+        self.Nip = _round_up(N, self.block_i)
+        self.Njp = _round_up(N, self.block_j)
+        self.ni = self.Nip // self.block_i
+        self.nj = self.Njp // self.block_j
+
+        # Backward: no chunking. Mosaic keeps unrolled-loop temporaries live
+        # simultaneously, so chunking would not reduce peak VMEM — and chunk
+        # lane-slices at 128-lane offsets hit "Invalid input layout" on
+        # broadcasts. One full-width (BI, BJ, Ep) computation has the same
+        # footprint with zero alignment hazards; BI absorbs the budget.
+        bwd_budget = 8 << 20
+        bw = bwd_budget // (24 * self.block_j * self.Ep)
+        self.block_i_bwd = max(0, min(self.block_i, (bw // 8) * 8))
+        self.bwd_feasible = self.block_i_bwd >= 8
+        self.ni_bwd = self.Nip // self.block_i_bwd if self.bwd_feasible else 0
 
     def pad3(self, x, n2, n3):
         return jnp.pad(x, ((0, 0), (0, n2 - x.shape[1]), (0, n3 - x.shape[2])))
 
     def pad_inputs(self, p, q, a, bias, v):
-        p_p = self.pad3(p, self.Np, self.Ep)
-        q_p = self.pad3(q, self.Np, self.Ep)
-        v_p = self.pad3(v, self.Np, self.Dp)
+        p_p = self.pad3(p, self.Nip, self.Ep)
+        q_p = self.pad3(q, self.Njp, self.Ep)
+        v_p = self.pad3(v, self.Njp, self.Dp)
         a_p = jnp.pad(a, (0, self.Ep - self.E)).reshape(1, self.Ep)
         bias_p = (
-            jnp.pad(bias, ((0, self.Np - self.N), (0, self.Np - self.N)))
+            jnp.pad(bias, ((0, self.Nip - self.N), (0, self.Njp - self.N)))
             if bias is not None
             else jnp.zeros((1, 1), jnp.float32)
         )
         return p_p, q_p, a_p, bias_p, v_p
 
     def row_stats(self, x, pad_value: float = 0.0):
-        """(B, N) -> padded (B, Np, 128) broadcast over lanes. pad_value
+        """(B, N) -> padded (B, Nip, 128) broadcast over lanes. pad_value
         matters for the backward's padded rows: m pads to +big (so recomputed
         w = exp(s - m) underflows to 0) and l pads to 1 (no 0/0)."""
         xp = jnp.pad(
-            x, ((0, 0), (0, self.Np - self.N)), constant_values=pad_value
+            x, ((0, 0), (0, self.Nip - self.N)), constant_values=pad_value
         )
-        return jnp.broadcast_to(xp[:, :, None], (self.B, self.Np, 128)).astype(jnp.float32)
+        return jnp.broadcast_to(
+            xp[:, :, None], (self.B, self.Nip, 128)
+        ).astype(jnp.float32)
 
 
 def _fused_forward(
@@ -191,38 +215,38 @@ def _fused_forward(
     has_bias = bias is not None
     p_p, q_p, a_p, bias_p, v_p = plan.pad_inputs(p, q, a, bias, v)
 
-    grid = (B, plan.ni, plan.nj)
-    bi, bj, Ep, Dp, Np = plan.block_i, plan.block_j, plan.Ep, plan.Dp, plan.Np
+    grid = (B, plan.ni, plan.nj, plan.nc)
+    bi, bj, ec, Dp, Nip = plan.block_i, plan.block_j, plan.ec, plan.Dp, plan.Nip
     in_specs = [
-        pl.BlockSpec((1, bi, Ep), lambda b, i, j: (b, i, 0)),
-        pl.BlockSpec((1, bj, Ep), lambda b, i, j: (b, j, 0)),
-        pl.BlockSpec((1, Ep), lambda b, i, j: (0, 0)),
+        pl.BlockSpec((1, bi, ec), lambda b, i, j, c: (b, i, c)),
+        pl.BlockSpec((1, bj, ec), lambda b, i, j, c: (b, j, c)),
+        pl.BlockSpec((1, ec), lambda b, i, j, c: (0, c)),
         (
-            pl.BlockSpec((bi, bj), lambda b, i, j: (i, j))
+            pl.BlockSpec((bi, bj), lambda b, i, j, c: (i, j))
             if has_bias
-            else pl.BlockSpec((1, 1), lambda b, i, j: (0, 0))
+            else pl.BlockSpec((1, 1), lambda b, i, j, c: (0, 0))
         ),
-        pl.BlockSpec((1, bj, Dp), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, bj, Dp), lambda b, i, j, c: (b, j, 0)),
     ]
     operands = [p_p, q_p, a_p, bias_p, v_p]
     scratch = [
+        pltpu.VMEM((bi, bj), jnp.float32),    # score tile accumulator
         pltpu.VMEM((bi, 128), jnp.float32),   # running max
         pltpu.VMEM((bi, 128), jnp.float32),   # running denom
         pltpu.VMEM((bi, Dp), jnp.float32),    # output accumulator
     ]
     params = pltpu.CompilerParams(
-        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary"),
     )
-    kw = dict(alpha=alpha, n_nodes=N, block_j=bj, e_chunk=plan.e_chunk,
-              has_bias=has_bias)
+    kw = dict(alpha=alpha, n_nodes=N, block_j=bj, has_bias=has_bias)
 
     if not with_residuals:
         out = pl.pallas_call(
             functools.partial(_kernel, **kw),
-            out_shape=jax.ShapeDtypeStruct((B, Np, Dp), v.dtype),
+            out_shape=jax.ShapeDtypeStruct((B, Nip, Dp), v.dtype),
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, bi, Dp), lambda b, i, j: (b, i, 0)),
+            out_specs=pl.BlockSpec((1, bi, Dp), lambda b, i, j, c: (b, i, 0)),
             scratch_shapes=scratch,
             compiler_params=params,
             interpret=interpret,
@@ -232,18 +256,18 @@ def _fused_forward(
     out, u, m, l = pl.pallas_call(
         functools.partial(_kernel_res, **kw),
         out_shape=(
-            jax.ShapeDtypeStruct((B, Np, Dp), v.dtype),
-            jax.ShapeDtypeStruct((B, Np, Dp), jnp.float32),
-            jax.ShapeDtypeStruct((B, Np, 128), jnp.float32),
-            jax.ShapeDtypeStruct((B, Np, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, Nip, Dp), v.dtype),
+            jax.ShapeDtypeStruct((B, Nip, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Nip, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, Nip, 128), jnp.float32),
         ),
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, bi, Dp), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bi, Dp), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bi, 128), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bi, 128), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bi, Dp), lambda b, i, j, c: (b, i, 0)),
+            pl.BlockSpec((1, bi, Dp), lambda b, i, j, c: (b, i, 0)),
+            pl.BlockSpec((1, bi, 128), lambda b, i, j, c: (b, i, 0)),
+            pl.BlockSpec((1, bi, 128), lambda b, i, j, c: (b, i, 0)),
         ),
         scratch_shapes=scratch,
         compiler_params=params,
@@ -273,19 +297,15 @@ def _fused_forward(
 
 
 def _ds_tile(p, q, a, bias_blk, v, m_col, l_col, du, dvec_col,
-             *, alpha, n_nodes, block_j, e_chunk, has_bias, j_idx):
+             *, alpha, n_nodes, block_j, has_bias, j_idx):
     """Recompute w and ds for one (BI, BJ) tile. Returns (w, ds) in f32."""
     bi, bj = p.shape[0], q.shape[0]
-    ep = p.shape[1]
-    zdt = p.dtype
-    s = jnp.zeros((bi, bj), jnp.float32)
-    for c in range(ep // e_chunk):
-        pc = p[:, c * e_chunk : (c + 1) * e_chunk]
-        qc = q[:, c * e_chunk : (c + 1) * e_chunk]
-        ac = a[0, c * e_chunk : (c + 1) * e_chunk].astype(zdt)
-        z = pc[:, None, :] + qc[None, :, :]
-        z = jnp.where(z >= 0, z, jnp.asarray(alpha, zdt) * z)
-        s = s + jnp.sum((z * ac[None, None, :]).astype(jnp.float32), axis=-1)
+    pf = p.astype(jnp.float32)
+    qf = q.astype(jnp.float32)
+    af = a.astype(jnp.float32)[0]
+    z = pf[:, None, :] + qf[None, :, :]
+    z = jnp.where(z >= 0, z, alpha * z)
+    s = jnp.sum(z * af[None, None, :], axis=-1)
     if has_bias:
         s = s + bias_blk.astype(jnp.float32)
     w = jnp.exp(s - m_col) / l_col
@@ -299,7 +319,7 @@ def _ds_tile(p, q, a, bias_blk, v, m_col, l_col, du, dvec_col,
 def _bwd_dp_da_kernel(
     p_ref, q_ref, a_ref, bias_ref, v_ref, m_ref, l_ref, du_ref, dvec_ref,
     dp_ref, da_ref, dp_scr, da_scr,
-    *, alpha, n_nodes, block_j, e_chunk, has_bias,
+    *, alpha, n_nodes, block_j, has_bias,
 ):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
@@ -314,24 +334,22 @@ def _bwd_dp_da_kernel(
         p, q, a, bias_ref[...] if has_bias else None, v_ref[0],
         m_ref[0][:, 0:1], l_ref[0][:, 0:1],
         du_ref[0].astype(jnp.float32), dvec_ref[0][:, 0:1],
-        alpha=alpha, n_nodes=n_nodes, block_j=block_j, e_chunk=e_chunk,
+        alpha=alpha, n_nodes=n_nodes, block_j=block_j,
         has_bias=has_bias, j_idx=j,
     )
 
-    zdt = p.dtype
-    ep = p.shape[1]
-    for c in range(ep // e_chunk):
-        sl = slice(c * e_chunk, (c + 1) * e_chunk)
-        z = p[:, sl][:, None, :] + q[:, sl][None, :, :]
-        lrp = jnp.where(z >= 0, 1.0, alpha)                      # (BI,BJ,EC)
-        lr_z = jnp.where(z >= 0, z, jnp.asarray(alpha, zdt) * z).astype(jnp.float32)
-        dp_scr[:, sl] += (
-            jnp.einsum("ij,ije->ie", ds, lrp, preferred_element_type=jnp.float32)
-            * a[0, sl].astype(jnp.float32)[None, :]
-        )
-        da_scr[0:1, sl] += jnp.einsum(
-            "ij,ije->e", ds, lr_z, preferred_element_type=jnp.float32
-        )[None, :]
+    z = p.astype(jnp.float32)[:, None, :] + \
+        q.astype(jnp.float32)[None, :, :]                        # (BI,BJ,Ep)
+    lrp = jnp.where(z >= 0, 1.0, alpha)
+    lr_z = jnp.where(z >= 0, z, alpha * z)
+    # Mosaic cannot lower rank-2 x rank-3 dots, so contract by
+    # broadcast-multiply-reduce (ds broadcast over the embedding lanes).
+    ds3 = jax.lax.broadcast_in_dim(ds, z.shape, (0, 1))
+    dp_scr[...] += (
+        jnp.sum(ds3 * lrp, axis=1)
+        * a.astype(jnp.float32)[0][None, :]
+    )
+    da_scr[0:1, :] += jnp.sum(ds3 * lr_z, axis=(0, 1))[None, :]
 
     @pl.when(j == nj - 1)
     def _finalize():
@@ -342,7 +360,7 @@ def _bwd_dp_da_kernel(
 def _bwd_dq_dv_kernel(
     p_ref, q_ref, a_ref, bias_ref, v_ref, m_ref, l_ref, du_ref, dvec_ref,
     dq_ref, dv_ref, dq_scr, dv_scr,
-    *, alpha, n_nodes, block_j, e_chunk, has_bias,
+    *, alpha, n_nodes, block_j, has_bias,
 ):
     i = pl.program_id(2)
     ni = pl.num_programs(2)
@@ -358,22 +376,20 @@ def _bwd_dq_dv_kernel(
     w, ds = _ds_tile(
         p, q, a, bias_ref[...] if has_bias else None, v_ref[0],
         m_ref[0][:, 0:1], l_ref[0][:, 0:1], du, dvec_ref[0][:, 0:1],
-        alpha=alpha, n_nodes=n_nodes, block_j=block_j, e_chunk=e_chunk,
+        alpha=alpha, n_nodes=n_nodes, block_j=block_j,
         has_bias=has_bias, j_idx=j,
     )
 
     dv_scr[...] += jnp.dot(w.T, du, preferred_element_type=jnp.float32)
 
-    zdt = p.dtype
-    ep = p.shape[1]
-    for c in range(ep // e_chunk):
-        sl = slice(c * e_chunk, (c + 1) * e_chunk)
-        z = p[:, sl][:, None, :] + q[:, sl][None, :, :]
-        lrp = jnp.where(z >= 0, 1.0, alpha)
-        dq_scr[:, sl] += (
-            jnp.einsum("ij,ije->je", ds, lrp, preferred_element_type=jnp.float32)
-            * a[0, sl].astype(jnp.float32)[None, :]
-        )
+    z = p.astype(jnp.float32)[:, None, :] + \
+        q.astype(jnp.float32)[None, :, :]                        # (BI,BJ,Ep)
+    lrp = jnp.where(z >= 0, 1.0, alpha)
+    ds3 = jax.lax.broadcast_in_dim(ds, z.shape, (0, 1))
+    dq_scr[...] += (
+        jnp.sum(ds3 * lrp, axis=0)
+        * a.astype(jnp.float32)[0][None, :]
+    )
 
     @pl.when(i == ni - 1)
     def _finalize():
@@ -384,7 +400,7 @@ def _bwd_dq_dv_kernel(
 def _bwd_dbias_kernel(
     p_ref, q_ref, a_ref, bias_ref, v_ref, m_ref, l_ref, du_ref, dvec_ref,
     dbias_ref, dbias_scr,
-    *, alpha, n_nodes, block_j, e_chunk, has_bias,
+    *, alpha, n_nodes, block_j, has_bias,
 ):
     b = pl.program_id(2)
     nb = pl.num_programs(2)
@@ -398,7 +414,7 @@ def _bwd_dbias_kernel(
         p_ref[0], q_ref[0], a_ref[...], bias_ref[...], v_ref[0],
         m_ref[0][:, 0:1], l_ref[0][:, 0:1],
         du_ref[0].astype(jnp.float32), dvec_ref[0][:, 0:1],
-        alpha=alpha, n_nodes=n_nodes, block_j=block_j, e_chunk=e_chunk,
+        alpha=alpha, n_nodes=n_nodes, block_j=block_j,
         has_bias=has_bias, j_idx=j,
     )
     dbias_scr[...] += ds
@@ -408,25 +424,49 @@ def _bwd_dbias_kernel(
         dbias_ref[...] = dbias_scr[...].astype(dbias_ref.dtype)
 
 
+def _dense_backward(p, q, a, bias, v, g, alpha):
+    """Exact-math fallback when the blockwise backward cannot fit VMEM
+    (very wide embeddings): differentiate the decomposed dense path, which
+    computes identical values to the fused forward."""
+    has_bias = bias is not None
+    if has_bias:
+        _, vjp = jax.vjp(
+            lambda p_, q_, a_, b_, v_: _dense_reference(p_, q_, a_, b_, v_, alpha),
+            p, q, a, bias, v,
+        )
+        dp, dq, da, dbias, dv = vjp(g)
+    else:
+        _, vjp = jax.vjp(
+            lambda p_, q_, a_, v_: _dense_reference(p_, q_, a_, None, v_, alpha),
+            p, q, a, v,
+        )
+        dp, dq, da, dv = vjp(g)
+        dbias = None
+    return dp, dq, da, dbias, dv
+
+
 def _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret):
     B, N, E = p.shape
     D = v.shape[-1]
     plan = _Plan(B, N, E, D, p.dtype)
+    if not plan.bwd_feasible and not interpret:
+        return _dense_backward(p, q, a, bias, v, g, alpha)
     has_bias = bias is not None
-    bi, bj, Ep, Dp, Np = plan.block_i, plan.block_j, plan.Ep, plan.Dp, plan.Np
+    bi = plan.block_i_bwd if not interpret else plan.block_i
+    ni = plan.Nip // bi
+    bj, Ep, Dp, Np = plan.block_j, plan.Ep, plan.Dp, plan.Njp
 
     out = jax.nn.sigmoid(u)
     du = (g.astype(jnp.float32) * out * (1.0 - out))             # (B,N,D)
     dvec = jnp.sum(du * u, axis=-1)                              # (B,N)
 
     p_p, q_p, a_p, bias_p, v_p = plan.pad_inputs(p, q, a, bias, v)
-    du_p = plan.pad3(du, Np, Dp)
+    du_p = plan.pad3(du, plan.Nip, Dp)
     m_p = plan.row_stats(m, pad_value=1e30)
     l_p = plan.row_stats(l, pad_value=1.0)
     dvec_p = plan.row_stats(dvec)
 
-    kw = dict(alpha=alpha, n_nodes=N, block_j=bj, e_chunk=plan.e_chunk,
-              has_bias=has_bias)
+    kw = dict(alpha=alpha, n_nodes=N, block_j=bj, has_bias=has_bias)
     bias_spec_ij = (
         pl.BlockSpec((bi, bj), lambda b, i, j: (i, j))
         if has_bias
@@ -449,10 +489,10 @@ def _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret):
     dp_pad, da_part = pl.pallas_call(
         functools.partial(_bwd_dp_da_kernel, **kw),
         out_shape=(
-            jax.ShapeDtypeStruct((B, Np, Ep), p.dtype),
-            jax.ShapeDtypeStruct((B, plan.ni * 8, Ep), jnp.float32),
+            jax.ShapeDtypeStruct((B, plan.Nip, Ep), p.dtype),
+            jax.ShapeDtypeStruct((B, ni * 8, Ep), jnp.float32),
         ),
-        grid=(B, plan.ni, plan.nj),
+        grid=(B, ni, plan.nj),
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, bi, Ep), lambda b, i, j: (b, i, 0)),
@@ -493,7 +533,7 @@ def _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret):
             jax.ShapeDtypeStruct((B, Np, Ep), q.dtype),
             jax.ShapeDtypeStruct((B, Np, Dp), v.dtype),
         ),
-        grid=(B, plan.nj, plan.ni),
+        grid=(B, plan.nj, ni),
         in_specs=in_specs2,
         out_specs=(
             pl.BlockSpec((1, bj, Ep), lambda b, j, i: (b, j, 0)),
@@ -528,8 +568,8 @@ def _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret):
     ]
     dbias_pad = pl.pallas_call(
         functools.partial(_bwd_dbias_kernel, **kw),
-        out_shape=jax.ShapeDtypeStruct((Np, Np), bias.dtype),
-        grid=(plan.ni, plan.nj, B),
+        out_shape=jax.ShapeDtypeStruct((plan.Nip, Np), bias.dtype),
+        grid=(ni, plan.nj, B),
         in_specs=in_specs3,
         out_specs=pl.BlockSpec((bi, bj), lambda i, j, b: (i, j)),
         scratch_shapes=[pltpu.VMEM((bi, bj), jnp.float32)],
