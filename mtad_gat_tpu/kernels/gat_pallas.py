@@ -159,7 +159,7 @@ class _Plan:
         self.Dp = _round_up(D, 128)
 
         # ~4 (BI, BJ, EC) f32 temporaries live per forward grid step
-        fwd_budget = 6 << 20
+        fwd_budget = 8 << 20
         bi = fwd_budget // (16 * self.block_j * self.ec)
         self.block_i = max(8, min(128, _round_up(N, 8), (bi // 8) * 8))
         self.Nip = _round_up(N, self.block_i)
