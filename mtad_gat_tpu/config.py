@@ -52,6 +52,20 @@ class MTADGATConfig:
     # useful for long windows / large node counts).
     remat_attention: bool = False
 
+    def __post_init__(self):
+        # a typo'd impl would otherwise silently fall through to "dense"
+        # inside _GATCore's dispatch
+        if self.attention_impl not in ("dense", "sparse", "pallas"):
+            raise ValueError(
+                f"attention_impl must be dense|sparse|pallas, "
+                f"got {self.attention_impl!r}"
+            )
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be float32|bfloat16, "
+                f"got {self.compute_dtype!r}"
+            )
+
     def feat_embed_dim(self) -> int:
         """Effective feature-GAT embed dim (doubled for GATv2, reference
         ``modules.py:41,47-48``)."""
