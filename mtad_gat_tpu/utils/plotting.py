@@ -216,3 +216,75 @@ class Plotter:
         if save_path:
             plt.savefig(save_path, bbox_inches="tight")
         plt.close(fig)
+
+    # -- plotly surface (plotting.py:93-152,460-493) --
+    @staticmethod
+    def create_shapes(ranges, sequence_type, _min, _max, plot_values,
+                      is_test: bool = True, xref=None, yref=None) -> list:
+        """Rectangle shape specs for highlighted anomaly regions, in plotly's
+        shape-dict format (reference ``plotting.py:93-152``): each [start,
+        end] range is widened by 5 steps, colored red for true anomalies and
+        blue for predictions, at 0.08 opacity. Pure data — usable with or
+        without plotly installed."""
+        if _max is None:
+            _max = max(plot_values["errors"])
+        color = "blue" if sequence_type is None else (
+            "red" if sequence_type == "true" else "blue"
+        )
+        shapes = []
+        for start, end in ranges:
+            shape = {
+                "type": "rect",
+                "x0": start - 5,
+                "y0": _min,
+                "x1": end + 5,
+                "y1": _max,
+                "fillcolor": color,
+                "opacity": 0.08,
+                "line": {"width": 0},
+            }
+            if xref is not None:
+                shape["xref"] = xref
+                shape["yref"] = yref
+            shapes.append(shape)
+        return shapes
+
+    def plotly_global_predictions(self, plot_train: bool = False,
+                                  save_path: Optional[str] = None) -> None:
+        """Interactive global-score plot (reference ``plotting.py:460-493``).
+        Renders with plotly when it is installed; otherwise falls back to the
+        matplotlib version so the call always produces a figure."""
+        try:
+            import plotly.graph_objects as go
+        except ImportError:
+            print("plotly not installed; falling back to matplotlib")
+            return self.plot_global_predictions(
+                plot_train=plot_train, save_path=save_path
+            )
+
+        df = self.train_output if plot_train else self.test_output
+        score = df["A_Score_Global"].values
+        shapes = []
+        if self.labels_available and not plot_train:
+            true_ranges = get_anomaly_sequences(df["A_True_Global"].values)
+            shapes += self.create_shapes(
+                true_ranges, "true", 0.0, float(np.max(score)), None
+            )
+        if "A_Pred_Global" in df.columns:
+            pred_ranges = get_anomaly_sequences(df["A_Pred_Global"].values)
+            shapes += self.create_shapes(
+                pred_ranges, "predicted", 0.0, float(np.max(score)), None
+            )
+        fig = go.Figure(
+            data=[go.Scatter(y=score, name="global score", line=dict(width=1))],
+            layout=go.Layout(shapes=shapes, title="Global anomaly score"),
+        )
+        if "Thresh_Global" in df.columns:
+            fig.add_trace(go.Scatter(
+                y=df["Thresh_Global"].values, name="threshold",
+                line=dict(width=1, dash="dash", color="red"),
+            ))
+        if save_path:
+            fig.write_html(save_path)
+        else:
+            fig.show()

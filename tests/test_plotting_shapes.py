@@ -1,0 +1,102 @@
+"""Plotter parity extras: create_shapes dict format vs the reference, and the
+plotly_global_predictions fallback when plotly is absent."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mtad_gat_tpu.utils.plotting import Plotter
+
+REFERENCE = "/root/reference"
+
+requires_reference = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference repo not mounted"
+)
+
+
+def _import_ref_plotting():
+    """Import the reference plotting module with plotly/cufflinks stubbed
+    (they are not in this image and create_shapes never touches them)."""
+    import types
+
+    for name in ("plotly", "plotly.graph_objs", "plotly.subplots", "cufflinks"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["plotly"].graph_objs = sys.modules["plotly.graph_objs"]
+    sys.modules["plotly"].subplots = sys.modules["plotly.subplots"]
+    sys.modules["plotly.subplots"].make_subplots = lambda *a, **k: None
+    sys.modules["cufflinks"].go_offline = lambda *a, **k: None
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import plotting as ref_plotting
+
+    return ref_plotting
+
+
+@requires_reference
+def test_create_shapes_matches_reference():
+    ref_plotting = _import_ref_plotting()
+
+    ranges = [[10, 20], [55, 55], [200, 340]]
+    for seq_type in ["true", "predicted", None]:
+        for xref, yref in [(None, None), ("x2", "y2")]:
+            ours = Plotter.create_shapes(
+                ranges, seq_type, -1.5, 7.25, None, xref=xref, yref=yref
+            )
+            # reference create_shapes is an instance method that never touches
+            # self -> call through the class with a None receiver
+            ref = ref_plotting.Plotter.create_shapes(
+                None, ranges, seq_type, -1.5, 7.25, None, xref=xref, yref=yref
+            )
+            assert ours == ref
+
+
+@requires_reference
+def test_create_shapes_max_from_plot_values():
+    ref_plotting = _import_ref_plotting()
+
+    plot_values = {"errors": [0.1, 3.5, 2.0]}
+    ours = Plotter.create_shapes([[5, 9]], "true", 0.0, None, plot_values)
+    ref = ref_plotting.Plotter.create_shapes(
+        None, [[5, 9]], "true", 0.0, None, plot_values
+    )
+    assert ours == ref
+    assert ours[0]["y1"] == 3.5
+
+
+def _fake_run(tmp_path):
+    run = tmp_path / "SMD" / "18082026_000000"
+    os.makedirs(run)
+    n = 50
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({
+        "A_Score_Global": rng.random(n),
+        "Thresh_Global": np.full(n, 0.9),
+        "A_Pred_Global": (rng.random(n) > 0.8).astype(float),
+        "A_True_Global": (rng.random(n) > 0.9).astype(float),
+    })
+    df.to_pickle(run / "test_output.pkl")
+    df.drop(columns=["A_True_Global"]).to_pickle(run / "train_output.pkl")
+    return str(tmp_path / "SMD")
+
+
+def test_plotly_global_predictions_falls_back_without_plotly(tmp_path, capsys):
+    pytest.importorskip("matplotlib")
+    # drop any plotly stubs a prior test injected, then check the real thing
+    for name in list(sys.modules):
+        if name == "plotly" or name.startswith("plotly."):
+            del sys.modules[name]
+    import importlib.util
+
+    if importlib.util.find_spec("plotly") is not None:
+        pytest.skip("plotly installed; fallback path not reachable")
+    plotter = Plotter(_fake_run(tmp_path), model_id="-1")
+    out = tmp_path / "global.png"
+    plotter.plotly_global_predictions(save_path=str(out))
+    assert out.exists() and out.stat().st_size > 0
+    assert "falling back to matplotlib" in capsys.readouterr().out
