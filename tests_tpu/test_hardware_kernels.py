@@ -1,0 +1,100 @@
+"""Hardware-gated tests: run `python -m pytest tests_tpu/ -q` on a machine
+with a real TPU attached. The main suite (tests/) pins itself to a CPU farm
+for parity math and sharding, which is exactly why a Mosaic-lowering
+regression in the Pallas kernel can hide there — interpret mode accepts
+programs real Mosaic rejects (it happened: bf16 sublane-broadcasts, unrolled
+scoped-vmem OOM, lane-offset broadcasts; see kernels/gat_pallas.py docstring).
+
+These tests compile and execute the fused kernel on the actual chip and
+compare against the dense XLA path at matched dtype.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+if jax.default_backend() not in ("tpu", "axon"):
+    pytest.skip("no TPU attached", allow_module_level=True)
+
+from mtad_gat_tpu.kernels.gat_pallas import (  # noqa: E402
+    _dense_reference,
+    gatv2_attention_fused,
+)
+
+
+def _inputs(B, N, E, D, dt):
+    r = np.random.default_rng(0)
+    return (
+        jnp.asarray(r.standard_normal((B, N, E)), dt),
+        jnp.asarray(r.standard_normal((B, N, E)), dt),
+        jnp.asarray(r.standard_normal((E,)), dt),
+        jnp.asarray(r.standard_normal((N, N)), dt),
+        jnp.asarray(r.standard_normal((B, N, D)), dt),
+    )
+
+
+@pytest.mark.parametrize("dt", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("B,N,E,D", [
+    (4, 38, 200, 100),    # flagship feature-GAT shape
+    (4, 100, 76, 38),     # flagship temporal-GAT shape
+    (2, 1024, 256, 128),  # large-N regime the kernel exists for
+])
+def test_fused_forward_matches_dense_on_hardware(B, N, E, D, dt):
+    args = _inputs(B, N, E, D, dt)
+    fused = jax.jit(lambda *xs: gatv2_attention_fused(*xs, 0.2))(*args)
+    dense = jax.jit(lambda *xs: _dense_reference(*xs, 0.2))(*args)
+    # sigmoid outputs in [0, 1]; both paths carry ~1e-3 dtype noise on TPU
+    tol = 2e-2 if dt == jnp.bfloat16 else 1e-2
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(dense, np.float32), atol=tol
+    )
+
+
+@pytest.mark.parametrize("B,N,E,D", [(4, 38, 200, 100), (2, 512, 256, 128)])
+def test_fused_backward_matches_dense_on_hardware(B, N, E, D):
+    args = _inputs(B, N, E, D, jnp.float32)
+
+    def loss_fused(*xs):
+        return jnp.sum(gatv2_attention_fused(*xs, 0.2) ** 2)
+
+    def loss_dense(*xs):
+        return jnp.sum(_dense_reference(*xs, 0.2) ** 2)
+
+    g1 = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4)))(*args)
+    g2 = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2, 3, 4)))(*args)
+    for name, a, b in zip("pqabv", g1, g2):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+        assert rel < 2e-2, f"d{name}: rel err {rel}"
+
+
+def test_train_step_with_pallas_impl_on_hardware(tmp_path):
+    """One jitted sharded train epoch with attention_impl='pallas' (dropout
+    0 so the fused kernel is actually on the train path) executes and yields
+    finite losses."""
+    from mtad_gat_tpu.config import MTADGATConfig, TrainConfig
+    from mtad_gat_tpu.data.windows import batched_starts
+    from mtad_gat_tpu.training import Trainer
+
+    cfg = MTADGATConfig(
+        n_features=8, window_size=32, out_dim=8, kernel_size=7,
+        gru_hid_dim=16, forecast_hid_dim=16, forecast_n_layers=1,
+        recon_hid_dim=16, recon_n_layers=1, dropout=0.0,
+        attention_impl="pallas", compute_dtype="bfloat16",
+    )
+    tcfg = TrainConfig(epochs=1, val_split=0.0, bs=16, init_lr=1e-3,
+                       log_tensorboard=False, seed=0)
+    trainer = Trainer(cfg, tcfg, save_path="", log_dir=str(tmp_path))
+    state = trainer.init_state()
+    series = jnp.asarray(
+        np.random.default_rng(0).standard_normal((200, 8)), jnp.float32
+    )
+    starts, mask, _ = batched_starts(64, 16)
+    state, (f, r) = trainer._epoch_train(state, series, starts, mask)
+    assert np.isfinite(np.asarray(f)).all()
+    assert np.isfinite(np.asarray(r)).all()
