@@ -27,9 +27,11 @@ Mosaic (TPU v5e) lowering constraints that shaped this design, all measured:
   (a 7-chunk unrolled SDDMM overflows the 16 MB scoped-vmem limit), so the
   forward puts the chunk axis in the Pallas grid — one chunk's temporaries
   live at a time, and chunk DMA overlaps compute for free. The backward
-  kernels keep an unrolled chunk loop but shrink their row block so the
-  whole unrolled footprint fits, falling back to dense-recompute math
-  (identical values) when the embedding is too wide for any row block.
+  kernels compute each (BI, BJ, Ep) tile at full embedding width (chunking
+  would not reduce peak VMEM without buffer reuse, and lane-offset chunk
+  slices hit "Invalid input layout" on broadcasts) and instead shrink the
+  row block BI, falling back to dense-recompute math (identical values)
+  when the embedding is too wide for any row block.
 
 Performance note: additive GATv2 scores are O(N^2 E) VPU work with no matmul
 structure, and XLA's fused broadcast+reduce on the decomposed dense path
@@ -150,7 +152,7 @@ class _Plan:
     launch is declared infeasible (dense-recompute fallback) when even an
     8-row block would overflow scoped VMEM."""
 
-    def __init__(self, B, N, E, D, dtype=None):
+    def __init__(self, B, N, E, D):
         self.B, self.N, self.E, self.D = B, N, E, D
         self.block_j = 128
         self.ec = min(128, _round_up(E, 8))
@@ -173,8 +175,15 @@ class _Plan:
         # broadcasts. One full-width (BI, BJ, Ep) computation has the same
         # footprint with zero alignment hazards; BI absorbs the budget.
         bwd_budget = 8 << 20
-        bw = bwd_budget // (24 * self.block_j * self.Ep)
-        self.block_i_bwd = max(0, min(self.block_i, (bw // 8) * 8))
+        cap = (bwd_budget // (24 * self.block_j * self.Ep) // 8) * 8
+        # block_i_bwd must DIVIDE block_i (hence Nip) so the backward grid
+        # covers every padded row — a floor-divided grid over a non-divisor
+        # block silently drops the tail rows' gradients
+        self.block_i_bwd = 0
+        for d in range(min(self.block_i, max(cap, 0)), 0, -8):
+            if self.block_i % d == 0:
+                self.block_i_bwd = d
+                break
         self.bwd_feasible = self.block_i_bwd >= 8
         self.ni_bwd = self.Nip // self.block_i_bwd if self.bwd_feasible else 0
 
@@ -211,7 +220,7 @@ def _fused_forward(
 ):
     B, N, E = p.shape
     D = v.shape[-1]
-    plan = _Plan(B, N, E, D, p.dtype)
+    plan = _Plan(B, N, E, D)
     has_bias = bias is not None
     p_p, q_p, a_p, bias_p, v_p = plan.pad_inputs(p, q, a, bias, v)
 
@@ -448,12 +457,14 @@ def _dense_backward(p, q, a, bias, v, g, alpha):
 def _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret):
     B, N, E = p.shape
     D = v.shape[-1]
-    plan = _Plan(B, N, E, D, p.dtype)
+    plan = _Plan(B, N, E, D)
     if not plan.bwd_feasible and not interpret:
         return _dense_backward(p, q, a, bias, v, g, alpha)
     has_bias = bias is not None
-    bi = plan.block_i_bwd if not interpret else plan.block_i
-    ni = plan.Nip // bi
+    if interpret:
+        bi, ni = plan.block_i, plan.ni
+    else:
+        bi, ni = plan.block_i_bwd, plan.ni_bwd
     bj, Ep, Dp, Np = plan.block_j, plan.Ep, plan.Dp, plan.Njp
 
     out = jax.nn.sigmoid(u)

@@ -228,9 +228,7 @@ class Plotter:
         without plotly installed."""
         if _max is None:
             _max = max(plot_values["errors"])
-        color = "blue" if sequence_type is None else (
-            "red" if sequence_type == "true" else "blue"
-        )
+        color = "red" if sequence_type == "true" else "blue"
         shapes = []
         for start, end in ranges:
             shape = {
@@ -258,6 +256,9 @@ class Plotter:
             import plotly.graph_objects as go
         except ImportError:
             print("plotly not installed; falling back to matplotlib")
+            if save_path and save_path.endswith(".html"):
+                # matplotlib's savefig rejects the html format
+                save_path = save_path[: -len(".html")] + ".png"
             return self.plot_global_predictions(
                 plot_train=plot_train, save_path=save_path
             )

@@ -17,7 +17,10 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
-if jax.default_backend() not in ("tpu", "axon"):
+# must match gatv2_attention_fused's own dispatch (interpret when backend
+# != "tpu"): a looser gate here would run interpret mode and prove nothing.
+# The axon remote-TPU plugin also reports backend "tpu".
+if jax.default_backend() != "tpu":
     pytest.skip("no TPU attached", allow_module_level=True)
 
 from mtad_gat_tpu.kernels.gat_pallas import (  # noqa: E402
@@ -54,7 +57,13 @@ def test_fused_forward_matches_dense_on_hardware(B, N, E, D, dt):
     )
 
 
-@pytest.mark.parametrize("B,N,E,D", [(4, 38, 200, 100), (2, 512, 256, 128)])
+@pytest.mark.parametrize("B,N,E,D", [
+    (4, 38, 200, 100),
+    (2, 512, 256, 128),
+    # N=17, E=128: block_i=24 with block_i_bwd that must divide it — the
+    # shape that exposed the backward grid floor-truncation bug
+    (2, 17, 128, 64),
+])
 def test_fused_backward_matches_dense_on_hardware(B, N, E, D):
     args = _inputs(B, N, E, D, jnp.float32)
 
