@@ -41,6 +41,9 @@ def main() -> None:
                         help="datetime run id, or -N for the N-th latest run")
     parser.add_argument("--load_scores", type=str2bool, default=False)
     parser.add_argument("--save_output", type=str2bool, default=True)
+    parser.add_argument("--torch_ckpt", type=str, default="",
+                        help="import a reference PyTorch model.pt instead of "
+                             "the run's model.msgpack (migration path)")
     args = parser.parse_args()
 
     dataset = args.dataset
@@ -78,7 +81,17 @@ def main() -> None:
     model_cfg = cfg.model_config(n_features, out_dim)
     trainer = Trainer(model_cfg, cfg.train_config(), target_dims=target_dims,
                       save_path=model_path, log_dir=os.path.join(model_path, "logs"))
-    trainer.load(os.path.join(model_path, "model.msgpack"))
+    msgpack_path = os.path.join(model_path, "model.msgpack")
+    torch_path = args.torch_ckpt or os.path.join(model_path, "model.pt")
+    if args.torch_ckpt or (
+        not os.path.exists(msgpack_path) and os.path.exists(torch_path)
+    ):
+        # a reference-trained run directory (or explicit torch checkpoint):
+        # import the torch weights (utils/torch_import.py)
+        print(f"Importing PyTorch checkpoint {torch_path}")
+        trainer.load_torch(torch_path)
+    else:
+        trainer.load(msgpack_path)
 
     level, q, reg_level = lookup_pot_params(dataset, args.group, args.level, args.q)
 

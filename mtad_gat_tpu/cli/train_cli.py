@@ -19,19 +19,38 @@ from mtad_gat_tpu.cli.args import get_parser, to_run_config
 from mtad_gat_tpu.config import RunConfig, lookup_pot_params
 from mtad_gat_tpu.data import get_data, get_target_dims
 from mtad_gat_tpu.inference import Predictor
+from mtad_gat_tpu.parallel import make_mesh, multihost
 from mtad_gat_tpu.training import Trainer
 from mtad_gat_tpu.utils.plotting import plot_losses
 
 
 def run_training(
-    cfg: RunConfig, run_id: str | None = None, resume_from: str | None = None
+    cfg: RunConfig,
+    run_id: str | None = None,
+    resume_from: str | None = None,
+    init_from_torch: str | None = None,
 ) -> str:
     """Execute the full pipeline; returns the save path. ``resume_from``
     restores a full train-state checkpoint (params + optimizer state + step)
-    before continuing — true resume, which the reference lacks (SURVEY.md §5)."""
+    before continuing — true resume, which the reference lacks (SURVEY.md §5).
+    ``init_from_torch`` warm-starts from a reference PyTorch ``model.pt``."""
     run_id = run_id or datetime.now().strftime("%d%m%Y_%H%M%S")
     dataset = cfg.dataset
     window_size = cfg.lookback
+
+    # Multi-chip / multi-host setup (SURVEY.md §2.7; no reference counterpart
+    # — the reference is single-device, training.py:77).
+    mesh = None
+    if cfg.coordinator or cfg.num_processes > 0:
+        multihost.initialize(
+            coordinator_address=cfg.coordinator or None,
+            num_processes=cfg.num_processes or None,
+            process_id=cfg.process_id if cfg.process_id >= 0 else None,
+        )
+    if cfg.mesh_devices:
+        n = None if cfg.mesh_devices < 0 else cfg.mesh_devices
+        mesh = make_mesh(n, model_parallel=cfg.model_parallel or None)
+        print(f"Training mesh: {dict(mesh.shape)}")
 
     if dataset == "SMD":
         output_path = os.path.join(cfg.output_root, "SMD", cfg.group)
@@ -72,12 +91,15 @@ def run_training(
 
     trainer = Trainer(
         model_cfg, train_cfg, target_dims=target_dims, save_path=save_path,
-        log_dir=log_dir, args_summary=args_summary,
+        log_dir=log_dir, args_summary=args_summary, mesh=mesh,
     )
     trainer.init_state()
     if resume_from:
         trainer.load_full(resume_from)
         print(f"Resumed full train state from {resume_from} (step {int(trainer.state.step)})")
+    elif init_from_torch:
+        trainer.load_torch(init_from_torch)
+        print(f"Warm-started from PyTorch checkpoint {init_from_torch}")
     trainer.fit(x_train)
 
     plot_losses(trainer.losses, save_path=save_path, plot=False)
@@ -117,9 +139,15 @@ def main() -> None:
     parser = get_parser()
     parser.add_argument("--resume_from", type=str, default="",
                         help="path to a train_state.msgpack to resume from")
+    parser.add_argument("--init_from_torch", type=str, default="",
+                        help="warm-start from a reference PyTorch model.pt")
     args = parser.parse_args()
     cfg = to_run_config(args)
-    run_training(cfg, resume_from=args.resume_from or None)
+    run_training(
+        cfg,
+        resume_from=args.resume_from or None,
+        init_from_torch=args.init_from_torch or None,
+    )
 
 
 if __name__ == "__main__":

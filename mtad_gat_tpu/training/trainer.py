@@ -39,6 +39,7 @@ import optax
 from mtad_gat_tpu.config import MTADGATConfig, TrainConfig
 from mtad_gat_tpu.data.windows import batched_starts, num_windows, window_batch
 from mtad_gat_tpu.models import MTADGAT
+from mtad_gat_tpu.parallel import multihost
 from mtad_gat_tpu.parallel.sharding import use_mesh
 from mtad_gat_tpu.training.checkpoint import load_checkpoint, save_checkpoint
 from mtad_gat_tpu.training.metrics import MetricsLogger
@@ -203,11 +204,16 @@ class Trainer:
 
         # Entering the mesh context at call time means the constraints inside
         # the model become GSPMD anchors when the function is traced/compiled.
+        # Epoch index arrays go through multihost.epoch_arrays first: a no-op
+        # single-process, per-host column blocks assembled into one global
+        # array on a pod slice.
         def run_train(state, series, starts, mask):
+            starts, mask = multihost.epoch_arrays(self.mesh, starts, mask)
             with use_mesh(self.mesh):
                 return epoch_train(state, series, starts, mask)
 
         def run_eval(params, series, starts, mask):
+            starts, mask = multihost.epoch_arrays(self.mesh, starts, mask)
             with use_mesh(self.mesh):
                 return epoch_eval(params, series, starts, mask)
 
@@ -338,6 +344,40 @@ class Trainer:
             self.init_state()
         restored = load_checkpoint(path, {"params": self.state.params})
         self.state = self.state.replace(params=restored["params"])
+
+    def load_torch(self, path: str) -> None:
+        """Import a reference PyTorch ``model.pt`` checkpoint (reference
+        ``training.py:231-241``) as this trainer's parameters — the migration
+        path for users bringing trained reference models. Shapes are validated
+        against the model's own init tree so an architecture mismatch fails
+        loudly instead of mis-applying."""
+        from mtad_gat_tpu.utils.torch_import import load_torch_checkpoint
+
+        if self.state is None:
+            self.init_state()
+        imported = load_torch_checkpoint(path)
+
+        ref_paths = {
+            jax.tree_util.keystr(k): v.shape
+            for k, v in jax.tree_util.tree_leaves_with_path(self.state.params)
+        }
+        got_paths = {
+            jax.tree_util.keystr(k): v.shape
+            for k, v in jax.tree_util.tree_leaves_with_path(imported)
+        }
+        if ref_paths != got_paths:
+            missing = sorted(set(ref_paths) - set(got_paths))
+            extra = sorted(set(got_paths) - set(ref_paths))
+            mism = sorted(
+                k for k in set(ref_paths) & set(got_paths)
+                if ref_paths[k] != got_paths[k]
+            )
+            raise ValueError(
+                f"torch checkpoint {path} does not match this model: "
+                f"missing={missing} extra={extra} shape-mismatch={mism}"
+            )
+        params = jax.tree_util.tree_map(jnp.asarray, imported)
+        self.state = self.state.replace(params=params)
 
     def load_full(self, path: str) -> None:
         """True resume: params + optimizer state + step + rng."""

@@ -1,0 +1,156 @@
+"""Import reference PyTorch checkpoints into this framework.
+
+The reference trains single-device torch models and commits ``model.pt``
+state_dicts (reference ``training.py:231-241``, e.g.
+``output/MSL/27062021_111641/model.pt``). A user migrating from the reference
+should be able to keep those trained weights, so this module maps a raw torch
+``state_dict`` — no torch model class required — onto our flax parameter tree.
+
+Layout differences handled here:
+
+- torch ``Conv1d`` stores (out, in, kw); our NWC conv kernel is WIO (kw, in, out)
+  (``nn/conv.py``).
+- torch ``Linear`` stores (out, in) for a left-matmul; we store (in, out) for a
+  right-matmul (``nn/heads.py:_TorchLinear``).
+- torch ``GRU`` packs gates as rows of (3h, in); we store the transpose so the
+  fused gate projection is a right-matmul (``nn/gru.py``). Gate order (r, z, n)
+  is identical, so no reordering is needed.
+- GAT attention vector ``a`` and the (N, N) score-bias matrix are stored with
+  identical layouts on both sides (``nn/gat.py:_GATCore``).
+
+Only torch's serialization reader is needed, and only inside
+``load_torch_checkpoint``; the mapping itself is pure numpy so it is usable
+from environments without torch (e.g. feeding arrays recovered elsewhere).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping
+
+import numpy as np
+
+__all__ = [
+    "torch_state_dict_to_params",
+    "load_torch_checkpoint",
+    "infer_model_dims",
+]
+
+_GRU_KEY = re.compile(r"(weight|bias)_(ih|hh)_l(\d+)$")
+
+
+def _as_numpy(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch.Tensor without importing torch at module scope
+    return t.detach().cpu().numpy()
+
+
+def _linear(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "kernel": _as_numpy(sd[f"{prefix}.weight"]).T,
+        "bias": _as_numpy(sd[f"{prefix}.bias"]),
+    }
+
+
+def _gru(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for key in sd:
+        if not key.startswith(prefix + "."):
+            continue
+        m = _GRU_KEY.search(key)
+        if m is None:
+            continue
+        kind, side, layer = m.groups()
+        arr = _as_numpy(sd[key])
+        if kind == "weight":
+            out[f"w_{side}_l{layer}"] = arr.T
+        else:
+            out[f"b_{side}_l{layer}"] = arr
+    if not out:
+        raise KeyError(f"no GRU weights found under {prefix!r}")
+    return out
+
+
+def _gat(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, dict]:
+    core = {
+        "lin_kernel": _as_numpy(sd[f"{prefix}.lin.weight"]).T,
+        "lin_bias": _as_numpy(sd[f"{prefix}.lin.bias"]),
+        "a": _as_numpy(sd[f"{prefix}.a"]),
+    }
+    if f"{prefix}.bias" in sd:
+        core["bias"] = _as_numpy(sd[f"{prefix}.bias"])
+    return {"core": core}
+
+
+def _forecast(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
+    idxs = sorted(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"forecasting_model\.layers\.(\d+)\.weight$", k))
+    )
+    return {f"layers_{i}": _linear(sd, f"forecasting_model.layers.{i}") for i in idxs}
+
+
+def torch_state_dict_to_params(sd: Mapping[str, np.ndarray]) -> Dict[str, dict]:
+    """Map a reference MTAD-GAT torch ``state_dict`` (tensors or numpy arrays)
+    to this framework's flax ``params`` tree (float32 numpy leaves)."""
+    conv_w = _as_numpy(sd["conv.conv.weight"])  # (out, in, kw)
+    params = {
+        "conv": {
+            "kernel": conv_w.transpose(2, 1, 0),
+            "bias": _as_numpy(sd["conv.conv.bias"]),
+        },
+        "feature_gat": _gat(sd, "feature_gat"),
+        "temporal_gat": _gat(sd, "temporal_gat"),
+        "gru": _gru(sd, "gru.gru"),
+        "forecasting_model": _forecast(sd),
+        "recon_model": {
+            "decoder": _gru(sd, "recon_model.decoder.rnn"),
+            "fc": _linear(sd, "recon_model.fc"),
+        },
+    }
+
+    def _f32(tree):
+        if isinstance(tree, dict):
+            return {k: _f32(v) for k, v in tree.items()}
+        return np.asarray(tree, dtype=np.float32)
+
+    return _f32(params)
+
+
+def infer_model_dims(sd: Mapping[str, np.ndarray]) -> Dict[str, int]:
+    """Recover the architecture hyper-parameters implied by a checkpoint's
+    shapes — a sanity cross-check against the run's ``config.txt``."""
+    n_features = _as_numpy(sd["conv.conv.bias"]).shape[0]
+    kernel_size = _as_numpy(sd["conv.conv.weight"]).shape[2]
+    window_size = _as_numpy(sd["temporal_gat.bias"]).shape[0]
+    gru_hid = _as_numpy(sd["gru.gru.weight_hh_l0"]).shape[1]
+    gru_layers = sum(1 for k in sd if re.match(r"gru\.gru\.weight_ih_l\d+$", k))
+    recon_layers = sum(
+        1 for k in sd if re.match(r"recon_model\.decoder\.rnn\.weight_ih_l\d+$", k)
+    )
+    fc_linears = sum(
+        1 for k in sd if re.match(r"forecasting_model\.layers\.\d+\.weight$", k)
+    )
+    out_dim = _as_numpy(sd["forecasting_model.layers." f"{fc_linears - 1}" ".weight"]).shape[0]
+    return {
+        "n_features": n_features,
+        "kernel_size": kernel_size,
+        "window_size": window_size,
+        "gru_hid_dim": gru_hid,
+        "gru_n_layers": gru_layers,
+        "recon_n_layers": recon_layers,
+        "fc_n_layers": fc_linears - 1,  # reference counts hidden transforms
+        "out_dim": out_dim,
+    }
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, dict]:
+    """Read a reference ``model.pt`` and return our flax params tree."""
+    import torch  # local import: torch is only needed to deserialize
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):  # a full module was saved, not a state_dict
+        sd = sd.state_dict()
+    return torch_state_dict_to_params(sd)
