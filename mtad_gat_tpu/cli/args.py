@@ -73,9 +73,22 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--attention_impl", type=str, default="dense",
-                        choices=["dense", "sparse", "pallas"])
+                        choices=["dense", "sparse", "pallas", "ring"])
     parser.add_argument("--data_root", type=str, default="datasets")
     parser.add_argument("--output_root", type=str, default="output")
+
+    # --- Multi-chip / multi-host extensions (SURVEY.md §2.7) ---
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="devices in the training mesh: 0 = single-device "
+                             "(no mesh), -1 = all visible devices, N = first N")
+    parser.add_argument("--model_parallel", type=int, default=0,
+                        help="model-axis size of the mesh (graph/sequence "
+                             "partition); 0 = auto factorization")
+    parser.add_argument("--coordinator", type=str, default="",
+                        help="multi-host coordinator address host:port "
+                             "(jax.distributed); empty = single-process/auto")
+    parser.add_argument("--num_processes", type=int, default=0)
+    parser.add_argument("--process_id", type=int, default=-1)
 
     return parser
 

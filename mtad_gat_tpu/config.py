@@ -46,7 +46,10 @@ class MTADGATConfig:
     # always live in float32.
     compute_dtype: str = "float32"
     # Attention implementation: "dense" (XLA einsum, the oracle path),
-    # "pallas" (fused blockwise kernel), or "sparse" (COO SDDMM/SpMM path).
+    # "pallas" (fused blockwise kernel), "sparse" (COO SDDMM/SpMM path), or
+    # "ring" (sequence/context-parallel blockwise attention over the mesh's
+    # model axis; falls back to dense math when no model-parallel mesh is
+    # active — the single-shard specialization).
     attention_impl: str = "dense"
     # Rematerialize the GAT layers in the backward pass (trade FLOPs for HBM;
     # useful for long windows / large node counts).
@@ -55,11 +58,13 @@ class MTADGATConfig:
     def __post_init__(self):
         # a typo'd impl would otherwise silently fall through to "dense"
         # inside _GATCore's dispatch
-        if self.attention_impl not in ("dense", "sparse", "pallas"):
+        if self.attention_impl not in ("dense", "sparse", "pallas", "ring"):
             raise ValueError(
-                f"attention_impl must be dense|sparse|pallas, "
+                f"attention_impl must be dense|sparse|pallas|ring, "
                 f"got {self.attention_impl!r}"
             )
+        if self.attention_impl == "ring" and not self.use_gatv2:
+            raise ValueError("attention_impl='ring' requires use_gatv2=True")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"compute_dtype must be float32|bfloat16, "
@@ -160,6 +165,14 @@ class RunConfig:
     attention_impl: str = "dense"
     data_root: str = "datasets"
     output_root: str = "output"
+
+    # --- Multi-chip / multi-host extensions (SURVEY.md §2.7) ---
+    # mesh_devices: 0 = single-device (no mesh), -1 = all devices, N = first N
+    mesh_devices: int = 0
+    model_parallel: int = 0         # 0 = auto factorization
+    coordinator: str = ""           # multi-host coordinator host:port
+    num_processes: int = 0
+    process_id: int = -1
 
     # ------------------------------------------------------------------
     def model_config(self, n_features: int, out_dim: int) -> MTADGATConfig:

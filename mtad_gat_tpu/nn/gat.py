@@ -56,7 +56,7 @@ class _GATCore(nn.Module):
     alpha: float
     dropout: float
     use_bias: bool = True
-    impl: str = "dense"     # "dense" | "sparse" | "pallas"
+    impl: str = "dense"     # "dense" | "sparse" | "pallas" | "ring"
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -109,6 +109,19 @@ class _GATCore(nn.Module):
                     dropout_rate=self.dropout if dropout_rng is not None else 0.0,
                     dropout_rng=dropout_rng,
                 ).astype(cd)
+            if self.impl == "ring":
+                from mtad_gat_tpu.parallel.ring_attention import ring_gatv2_attention
+                from mtad_gat_tpu.parallel.sharding import current_mesh
+
+                mesh = current_mesh()
+                if mesh is not None and "model" in mesh.axis_names and mesh.shape["model"] > 1:
+                    return ring_gatv2_attention(
+                        p, q, a_flat, bias, v, self.alpha, mesh,
+                        dropout_rate=self.dropout if dropout_rng is not None else 0.0,
+                        dropout_rng=dropout_rng,
+                    ).astype(cd)
+                # no model-parallel mesh active: the dense path below is the
+                # single-shard specialization of the ring (identical math)
             scores = gatv2_scores_dense(p, q, a_flat, self.alpha)
         else:
             wx = v @ kernel.astype(cd) + lin_bias.astype(cd)     # (b, N, e)

@@ -17,7 +17,19 @@ oracle (tested), never materializing an (N, N) score matrix on any chip.
 
 This is the sequence/context-parallel form of the temporal GAT (nodes =
 timestamps) and the edge-partition form of the feature GAT (nodes =
-features): SURVEY.md §2.7.
+features): SURVEY.md §2.7. It is wired into the model as
+``attention_impl="ring"`` (``nn/gat.py:_GATCore``), usable from ``RunConfig``
+/ the ``--attention_impl`` CLI flag whenever a mesh with a ``model`` axis is
+active.
+
+Node counts that do not divide the shard count are zero-padded: padded key
+columns are masked to -inf before the online-softmax update and padded query
+rows are sliced off afterwards, so any (N, S) combination is exact.
+
+Attention-weight dropout matches the reference's placement — applied to the
+softmaxed weights withOUT renormalizing (``modules.py:89-90``): the softmax
+denominator accumulates unmasked scores while the aggregate accumulates
+masked ones, which streams exactly.
 """
 
 from __future__ import annotations
@@ -27,6 +39,9 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
 def _shard_map(f, mesh, in_specs, out_specs):
     """Version shim: jax>=0.8 uses jax.shard_map(check_vma=...), older
     releases jax.experimental.shard_map.shard_map(check_rep=...)."""
@@ -37,7 +52,6 @@ def _shard_map(f, mesh, in_specs, out_specs):
     from jax.experimental.shard_map import shard_map as _sm
 
     return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def _scores(p_blk: jax.Array, q_blk: jax.Array, a: jax.Array, alpha: float) -> jax.Array:
@@ -56,16 +70,30 @@ def ring_gatv2_attention(
     alpha: float,
     mesh: Mesh,
     axis: str = "model",
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """sigmoid(softmax_j(a . leakyrelu(p_i+q_j) + bias_ij) @ v) with the node
-    dimension sharded over ``axis`` and key/value blocks rotated on a ring."""
+    dimension sharded over ``axis`` and key/value blocks rotated on a ring.
+    Works inside or outside jit (shardings are expressed as constraints)."""
     n_shards = mesh.shape[axis]
     N = p.shape[1]
-    assert N % n_shards == 0, f"nodes {N} must divide shards {n_shards}"
-    nl = N // n_shards
+    nl = -(-N // n_shards)           # ceil: local block size
+    n_pad = nl * n_shards
+    pad = n_pad - N
     has_bias = bias is not None
+    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    if not use_dropout:
+        dropout_rng = jax.random.PRNGKey(0)  # placeholder for a stable signature
+
+    if pad:
+        p = jnp.pad(p, ((0, 0), (0, pad), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+        if has_bias:
+            bias = jnp.pad(bias, ((0, pad), (0, pad)))
     if bias is None:
-        bias = jnp.zeros((N, 1), p.dtype)  # placeholder, row-sharded
+        bias = jnp.zeros((n_pad, 1), p.dtype)  # placeholder, row-sharded
 
     node_spec = P(None, axis, None)
     bias_spec = P(axis, None)
@@ -73,10 +101,10 @@ def ring_gatv2_attention(
     @functools.partial(
         _shard_map,
         mesh=mesh,
-        in_specs=(node_spec, node_spec, P(), bias_spec, node_spec),
+        in_specs=(node_spec, node_spec, P(), bias_spec, node_spec, P()),
         out_specs=node_spec,
     )
-    def run(p_l, q_l, a_r, bias_l, v_l):
+    def run(p_l, q_l, a_r, bias_l, v_l, rng):
         # p_l: (b, nl, e) local query rows; q_l/v_l: local key/value block
         rank = jax.lax.axis_index(axis)
         b = p_l.shape[0]
@@ -92,16 +120,28 @@ def ring_gatv2_attention(
             src = (rank - step) % n_shards
             s = _scores(p_l, q_blk, a_r, alpha)           # (b, nl, nl)
             if has_bias:
-                cols = jax.lax.dynamic_slice(
-                    bias_l, (0, src * nl), (nl, nl)
-                )
+                cols = jax.lax.dynamic_slice(bias_l, (0, src * nl), (nl, nl))
                 s = s + cols.astype(s.dtype)[None]
+            if pad:
+                # mask key columns beyond the true node count
+                col_ids = src * nl + jnp.arange(nl)
+                s = jnp.where(col_ids[None, None, :] < N, s, -1e30)
             m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
             corr = jnp.exp(m - m_new)
             e_s = jnp.exp(s - m_new)
+            # softmax denominator over the FULL (unmasked) weights
             l = l * corr + jnp.sum(e_s, axis=2, keepdims=True)
+            e_agg = e_s
+            if use_dropout:
+                # reference drops softmaxed weights without renormalizing
+                # (modules.py:89-90): mask only the aggregate, not l
+                tile_key = jax.random.fold_in(rng, rank * n_shards + src)
+                keep = jax.random.bernoulli(
+                    tile_key, 1.0 - dropout_rate, e_s.shape
+                )
+                e_agg = jnp.where(keep, e_s / (1.0 - dropout_rate), 0.0)
             acc = acc * corr + jnp.einsum(
-                "bij,bjd->bid", e_s, v_blk.astype(jnp.float32),
+                "bij,bjd->bid", e_agg, v_blk.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             )
             m = m_new
@@ -114,8 +154,10 @@ def ring_gatv2_attention(
         return jax.nn.sigmoid(acc / l).astype(v_l.dtype)
 
     sharding = NamedSharding(mesh, node_spec)
-    p = jax.device_put(p, sharding)
-    q = jax.device_put(q, sharding)
-    v = jax.device_put(v, sharding)
-    bias = jax.device_put(bias, NamedSharding(mesh, bias_spec))
-    return run(p, q, a, bias, v)
+    con = jax.lax.with_sharding_constraint
+    p = con(p, sharding)
+    q = con(q, sharding)
+    v = con(v, sharding)
+    bias = con(bias, NamedSharding(mesh, bias_spec))
+    out = run(p, q, a, bias, v, dropout_rng)
+    return out[:, :N, :] if pad else out
