@@ -115,6 +115,30 @@ def get_data(
     )
 
 
+def channel_boundaries(
+    dataset: str, is_train: bool, lookback: int, data_root: str = "datasets"
+) -> np.ndarray:
+    """End index (in score coordinates, i.e. shifted back by ``lookback``) of
+    each concatenated NASA channel, from the metadata CSVs the preprocessor
+    consumed. Channels are alphabetical by id with ``P-2`` dropped, exactly
+    like preprocessing (reference ``preprocess.py:61`` / ``utils.py:225-244``)."""
+    import pandas as pd
+
+    if is_train:
+        md = pd.read_csv(
+            os.path.join(data_root, "data", f"{dataset.lower()}_train_md.csv")
+        )
+    else:
+        md = pd.read_csv(os.path.join(data_root, "data", "labeled_anomalies.csv"))
+        md = md[md["spacecraft"] == dataset.upper()]
+    lengths = (
+        md[md["chan_id"] != "P-2"]
+        .sort_values(by=["chan_id"])["num_values"]
+        .to_numpy()
+    )
+    return np.cumsum(lengths) - lookback
+
+
 def adjust_anomaly_scores(
     scores: np.ndarray,
     dataset: str,
@@ -122,48 +146,36 @@ def adjust_anomaly_scores(
     lookback: int,
     data_root: str = "datasets",
 ) -> np.ndarray:
-    """MSL/SMAP channel-concatenation fixup (reference ``utils.py:210-254``):
-    zero scores within +/-20 steps of channel boundaries, then min-max
-    normalize each channel segment individually."""
+    """MSL/SMAP channel-concatenation fixup (semantics of reference
+    ``utils.py:210-254``): windows that straddle two concatenated channels
+    produce junk scores, so (1) zero every score within +/-19 steps of an
+    interior channel boundary, then (2) min-max normalize each channel's
+    segment individually so no single channel dominates the global threshold.
+
+    Two reference quirks are load-bearing and preserved: segment slices are
+    inclusive of the next boundary index, so each boundary element is
+    re-normalized again with the following segment (sequential, in channel
+    order), and a zero-range segment is only shifted to zero, not scaled."""
     if dataset.upper() not in ("SMAP", "MSL"):
         return scores
 
-    import pandas as pd
-
+    ends = channel_boundaries(dataset, is_train, lookback, data_root)
     adjusted = scores.copy()
-    if is_train:
-        md = pd.read_csv(os.path.join(data_root, "data", f"{dataset.lower()}_train_md.csv"))
-    else:
-        md = pd.read_csv(os.path.join(data_root, "data", "labeled_anomalies.csv"))
-        md = md[md["spacecraft"] == dataset.upper()]
-    md = md[md["chan_id"] != "P-2"]
-    md = md.sort_values(by=["chan_id"])
+    t = adjusted.size
 
-    sep_cuma = np.cumsum(md["num_values"].values) - lookback
-    sep_cuma_trim = sep_cuma[:-1]
-    buffer = np.arange(1, 20)
-    i_remov = np.sort(
-        np.concatenate(
-            (
-                sep_cuma_trim,
-                np.array([i + buffer for i in sep_cuma_trim]).flatten(),
-                np.array([i - buffer for i in sep_cuma_trim]).flatten(),
-            )
-        )
-    )
-    i_remov = i_remov[(i_remov < len(adjusted)) & (i_remov >= 0)]
-    i_remov = np.sort(np.unique(i_remov))
-    if len(i_remov) != 0:
-        adjusted[i_remov] = 0
+    interior = ends[:-1]
+    interior = interior[(interior >= -19) & (interior < t + 19)]
+    if interior.size:
+        near_boundary = (
+            np.abs(np.arange(t)[:, None] - interior[None, :]) <= 19
+        ).any(axis=1)
+        adjusted[near_boundary] = 0.0
 
-    # Normalize each concatenated channel segment individually
-    s = [0] + sep_cuma.tolist()
-    for c_start, c_end in [(s[i], s[i + 1]) for i in range(len(s) - 1)]:
-        e_s = adjusted[c_start : c_end + 1]
-        if len(e_s) == 0:
+    for lo, hi in zip(np.concatenate(([0], ends[:-1])), ends):
+        seg = adjusted[lo : hi + 1]  # inclusive of the boundary element
+        if seg.size == 0:
             continue
-        denom = np.max(e_s) - np.min(e_s)
-        adjusted[c_start : c_end + 1] = (
-            (e_s - np.min(e_s)) / denom if denom != 0 else e_s - np.min(e_s)
-        )
+        lo_v = np.min(seg)
+        rng = np.max(seg) - lo_v
+        adjusted[lo : hi + 1] = (seg - lo_v) / rng if rng != 0 else seg - lo_v
     return adjusted

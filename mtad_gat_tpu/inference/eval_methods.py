@@ -113,20 +113,27 @@ def pot_eval(
     s.initialize(level=level, min_extrema=False)
     ret = s.run(dynamic=dynamic, with_alarm=False)
     pot_th = float(np.mean(ret["thresholds"]))
-    pred, p_latency = adjust_predicts(score, label, pot_th, calc_latency=True)
-    if label is not None:
-        p_t = calc_point2point(pred, label)
-        return {
-            "f1": p_t[0], "precision": p_t[1], "recall": p_t[2],
-            "TP": p_t[3], "TN": p_t[4], "FP": p_t[5], "FN": p_t[6],
-            "threshold": pot_th, "latency": p_latency,
-        }
-    return {"threshold": pot_th}
+    return evaluate_threshold(score, label, pot_th)
 
 
-def calc_seq(score, label, threshold):
-    predict, latency = adjust_predicts(score, label, threshold, calc_latency=True)
-    return calc_point2point(predict, label), latency
+def evaluate_threshold(
+    score: np.ndarray,
+    label: Optional[np.ndarray],
+    threshold: float,
+) -> Dict:
+    """Point-adjusted metrics of one threshold as a result dict — the shared
+    tail of all three thresholding methods (semantics of reference
+    ``eval_methods.py:104-116,167-180``)."""
+    pred, latency = adjust_predicts(score, label, threshold, calc_latency=True)
+    if label is None:
+        return {"threshold": float(threshold)}
+    f1, precision, recall, tp, tn, fp, fn = calc_point2point(pred, label)
+    # key order matches the reference's summary.txt JSON
+    return {
+        "f1": f1, "precision": precision, "recall": recall,
+        "TP": tp, "TN": tn, "FP": fp, "FN": fn,
+        "threshold": float(threshold), "latency": latency,
+    }
 
 
 def bf_search(
@@ -139,9 +146,12 @@ def bf_search(
     verbose: bool = True,
     use_native: bool = True,
 ) -> Dict:
-    """Best-F1 threshold grid search (reference ``eval_methods.py:120-157``).
-    Note the reference increments BEFORE evaluating, so the first tested
-    threshold is start + range/step_num — replicated.
+    """Best-F1 threshold grid search (semantics of reference
+    ``eval_methods.py:120-157``). The reference advances the threshold by
+    repeated float addition BEFORE each evaluation, so the grid is
+    ``start + k*step`` accumulated in float for k = 1..step_num — replicated
+    including the accumulation order. Ties keep the earliest threshold
+    (strict ``>`` improvement test).
 
     When the native host library is available (and no verbose tracing is
     requested) the search runs in C++ with OpenMP across thresholds — same
@@ -156,30 +166,28 @@ def bf_search(
         res = bf_search_native(score, label, start, end, step_num)
         if res is not None:
             return res
+
     if step_num is None or end is None:
-        end = start
-        step_num = 1
-    search_step, search_range, search_lower_bound = step_num, end - start, start
+        end, step_num = start, 1
     if verbose:
-        print("search range: ", search_lower_bound, search_lower_bound + search_range)
-    threshold = search_lower_bound
-    m = (-1.0, -1.0, -1.0)
-    m_t = 0.0
-    m_l = 0
-    for i in range(search_step):
-        threshold += search_range / float(search_step)
-        target, latency = calc_seq(score, label, threshold)
-        if target[0] > m[0]:
-            m_t = threshold
-            m = target
-            m_l = latency
+        print("search range: ", start, end)
+    step = (end - start) / float(step_num)
+    # accumulate like the reference so each grid point is bit-identical
+    grid = []
+    t = start
+    for _ in range(step_num):
+        t += step
+        grid.append(t)
+
+    best = {"f1": -1.0, "precision": -1.0, "recall": -1.0, "threshold": 0.0,
+            "TP": 0.0, "TN": 0.0, "FP": 0.0, "FN": 0.0, "latency": 0}
+    for i, threshold in enumerate(grid):
+        cand = evaluate_threshold(score, label, threshold)
+        if cand.get("f1", -1.0) > best["f1"]:
+            best = cand
         if verbose and i % display_freq == 0:
-            print("cur thr: ", threshold, target, m, m_t)
-    return {
-        "f1": m[0], "precision": m[1], "recall": m[2],
-        "TP": m[3], "TN": m[4], "FP": m[5], "FN": m[6],
-        "threshold": m_t, "latency": m_l,
-    }
+            print("cur thr: ", threshold, cand, best)
+    return best
 
 
 def epsilon_eval(
@@ -188,65 +196,59 @@ def epsilon_eval(
     test_labels: Optional[np.ndarray],
     reg_level: int = 1,
 ) -> Dict:
-    """Reference ``eval_methods.py:165-183``."""
-    best_epsilon = find_epsilon(train_scores, reg_level)
-    pred, p_latency = adjust_predicts(test_scores, test_labels, best_epsilon, calc_latency=True)
-    if test_labels is not None:
-        p_t = calc_point2point(pred, test_labels)
-        return {
-            "f1": p_t[0], "precision": p_t[1], "recall": p_t[2],
-            "TP": p_t[3], "TN": p_t[4], "FP": p_t[5], "FN": p_t[6],
-            "threshold": best_epsilon, "latency": p_latency,
-            "reg_level": reg_level,
-        }
-    return {"threshold": best_epsilon, "reg_level": reg_level}
+    """Hundman-epsilon evaluation: threshold fit on train scores, metrics on
+    test (semantics of reference ``eval_methods.py:165-183``)."""
+    out = evaluate_threshold(
+        test_scores, test_labels, find_epsilon(train_scores, reg_level)
+    )
+    out["reg_level"] = reg_level
+    return out
+
+
+def _buffered_cover(flagged: np.ndarray, length: int, radius: int) -> int:
+    """Number of indices within ``radius`` of any flagged index: merge the
+    clipped intervals [i-radius, i+radius] and sum their lengths."""
+    if flagged.size == 0:
+        return 0
+    lo = np.clip(flagged - radius, 0, length - 1)
+    hi = np.clip(flagged + radius, 0, length - 1)
+    total = 0
+    cur_lo, cur_hi = int(lo[0]), int(hi[0])
+    for a, b in zip(lo[1:], hi[1:]):
+        if a <= cur_hi + 1:
+            cur_hi = max(cur_hi, int(b))
+        else:
+            total += cur_hi - cur_lo + 1
+            cur_lo, cur_hi = int(a), int(b)
+    total += cur_hi - cur_lo + 1
+    return total
 
 
 def find_epsilon(errors: np.ndarray, reg_level: int = 1) -> float:
-    """Hundman et al. epsilon (reference ``eval_methods.py:186-236``):
-    scan z in [2.5, 12) step 0.5, epsilon = mu + z*sigma; score each candidate
-    by the %-drop in mean and std after pruning, regularized by the flagged
-    count^reg_level with a +/-49-index buffer; reject if >= 50% flagged."""
-    e_s = np.asarray(errors)
-    best_epsilon = None
-    max_score = -10000000
-    mean_e_s = np.mean(e_s)
-    sd_e_s = np.std(e_s)
+    """Hundman et al. epsilon selection (semantics of reference
+    ``eval_methods.py:186-236``): candidates are mu + z*sigma for z in
+    [2.5, 12) step 0.5; each is scored by the fractional drop in mean and std
+    after pruning flagged points, divided by (buffered flagged
+    count)^reg_level where the buffer dilates each flagged index by +/-49;
+    candidates flagging >= 50% of points are rejected; ties prefer the LARGER
+    epsilon (running-max update with ``>=``). Falls back to max(errors) when
+    every candidate is rejected."""
+    if reg_level not in (0, 1, 2):
+        raise ValueError(f"unsupported reg_level {reg_level}")
+    e = np.asarray(errors)
+    mu, sigma = np.mean(e), np.std(e)
 
+    best_epsilon, best_score = None, -1e7
     for z in np.arange(2.5, 12, 0.5):
-        epsilon = mean_e_s + sd_e_s * z
-        pruned_e_s = e_s[e_s < epsilon]
+        epsilon = mu + sigma * z
+        above = np.flatnonzero(e >= epsilon)
+        covered = _buffered_cover(above, e.size, radius=49)
+        if covered == 0 or covered >= e.size * 0.5:
+            continue
+        kept = e[e < epsilon]
+        drop = (mu - np.mean(kept)) / mu + (sigma - np.std(kept)) / sigma
+        cand_score = drop / (covered ** reg_level)
+        if cand_score >= best_score:
+            best_epsilon, best_score = epsilon, cand_score
 
-        i_anom = np.argwhere(e_s >= epsilon).reshape(-1)
-        buffer = np.arange(1, 50)
-        if len(i_anom) > 0:
-            i_anom = np.concatenate(
-                (
-                    i_anom,
-                    (i_anom[:, None] + buffer[None, :]).flatten(),
-                    (i_anom[:, None] - buffer[None, :]).flatten(),
-                )
-            )
-            i_anom = i_anom[(i_anom < len(e_s)) & (i_anom >= 0)]
-            i_anom = np.sort(np.unique(i_anom))
-
-        if len(i_anom) > 0:
-            mean_perc_decrease = (mean_e_s - np.mean(pruned_e_s)) / mean_e_s
-            sd_perc_decrease = (sd_e_s - np.std(pruned_e_s)) / sd_e_s
-            if reg_level == 0:
-                denom = 1
-            elif reg_level == 1:
-                denom = len(i_anom)
-            elif reg_level == 2:
-                denom = len(i_anom) ** 2
-            else:
-                raise ValueError(f"unsupported reg_level {reg_level}")
-
-            score = (mean_perc_decrease + sd_perc_decrease) / denom
-            if score >= max_score and len(i_anom) < (len(e_s) * 0.5):
-                max_score = score
-                best_epsilon = epsilon
-
-    if best_epsilon is None:
-        best_epsilon = np.max(e_s)
-    return float(best_epsilon)
+    return float(np.max(e) if best_epsilon is None else best_epsilon)

@@ -137,6 +137,95 @@ class Predictor:
         return df
 
     # ------------------------------------------------------------------
+    # predict_anomalies stages (output contract of reference
+    # ``prediction.py:96-202``: same columns, summary JSON keys, pickles)
+
+    def _scored_frames(self, train, test, load_scores: bool):
+        """Score both splits (or reload cached pickles). Fresh scores get the
+        channel-boundary adjustment baked into ``A_Score_Global``; cached
+        pickles were already adjusted before saving."""
+        if load_scores:
+            print("Loading anomaly scores")
+            return {
+                split: pd.read_pickle(os.path.join(self.save_path, f"{split}_output.pkl"))
+                for split in ("train", "test")
+            }
+        frames = {}
+        for split, series in (("train", train), ("test", test)):
+            df = self.get_score(series)
+            df["A_Score_Global"] = adjust_anomaly_scores(
+                df["A_Score_Global"].to_numpy(), self.dataset,
+                split == "train", self.window_size, data_root=self.data_root,
+            )
+            frames[split] = df
+        return frames
+
+    def _smooth(self, scores: np.ndarray) -> np.ndarray:
+        """Optional EWM smoothing; span follows the reference's formula
+        int(256 * window * 0.05) via batch_size=256 (prediction.py:132-135)."""
+        span = int(self.batch_size * self.window_size * 0.05)
+        return pd.Series(scores).ewm(span=span).mean().to_numpy()
+
+    def _annotate_feature_thresholds(self, frames) -> None:
+        """Per-feature epsilon thresholds and binary predictions, written as
+        A_Pred_i / Thresh_i diagnostic columns on both splits (reg_level=2,
+        ``>=`` comparison — prediction.py:137-154)."""
+        out_dim = (
+            self.n_features if self.target_dims is None else len(self.target_dims)
+        )
+        for i in range(out_dim):
+            eps = find_epsilon(frames["train"][f"A_Score_{i}"].to_numpy(), reg_level=2)
+            for df in frames.values():
+                df[f"A_Pred_{i}"] = (df[f"A_Score_{i}"].to_numpy() >= eps).astype(int)
+                df[f"Thresh_{i}"] = eps
+
+    def _entity_summary(self, train_scores, test_scores, labels) -> Dict:
+        """The three thresholding methods on the entity-level (global) score,
+        as the reference's summary dict (prediction.py:159-183), with every
+        scalar JSON-coerced to float."""
+        results = {
+            "epsilon_result": epsilon_eval(
+                train_scores, test_scores, labels, reg_level=self.reg_level
+            ),
+            "pot_result": pot_eval(
+                train_scores, test_scores, labels,
+                q=self.q, level=self.level, dynamic=self.dynamic_pot,
+            ),
+            "bf_result": (
+                bf_search(test_scores, labels, start=0.01, end=2,
+                          step_num=100, verbose=False)
+                if labels is not None else {}
+            ),
+        }
+        for name, label in (
+            ("epsilon_result", "epsilon method"),
+            ("pot_result", "peak-over-threshold method"),
+            ("bf_result", "best f1 score search"),
+        ):
+            print(f"Results using {label}:\n {results[name]}")
+            results[name] = {
+                k: v if isinstance(v, list) else float(v)
+                for k, v in results[name].items()
+            }
+        return results
+
+    def _write_outputs(self, frames, scores, labels, global_epsilon: float) -> None:
+        """Global-threshold columns + pickles (prediction.py:186-200): the
+        test predictions are point-adjusted against the true labels before
+        saving; Thresh_Global is the epsilon-method threshold on both splits."""
+        frames["test"]["A_True_Global"] = labels
+        for split, df in frames.items():
+            df["Thresh_Global"] = global_epsilon
+            df["A_Pred_Global"] = (scores[split] >= global_epsilon).astype(int)
+        if labels is not None:
+            frames["test"]["A_Pred_Global"] = adjust_predicts(
+                None, labels, global_epsilon,
+                pred=frames["test"]["A_Pred_Global"].to_numpy(),
+            )
+        print(f"Saving output to {self.save_path}/<train/test>_output.pkl")
+        for split, df in frames.items():
+            df.to_pickle(os.path.join(self.save_path, f"{split}_output.pkl"))
+
     def predict_anomalies(
         self,
         train: np.ndarray,
@@ -146,105 +235,26 @@ class Predictor:
         save_output: bool = True,
         scale_scores: bool = False,
     ) -> Dict:
-        """Reference ``prediction.py:96-202``; returns the summary dict."""
-        if load_scores:
-            print("Loading anomaly scores")
-            train_pred_df = pd.read_pickle(f"{self.save_path}/train_output.pkl")
-            test_pred_df = pd.read_pickle(f"{self.save_path}/test_output.pkl")
-            train_anomaly_scores = train_pred_df["A_Score_Global"].values
-            test_anomaly_scores = test_pred_df["A_Score_Global"].values
-        else:
-            train_pred_df = self.get_score(train)
-            test_pred_df = self.get_score(test)
-            train_anomaly_scores = adjust_anomaly_scores(
-                train_pred_df["A_Score_Global"].values, self.dataset, True,
-                self.window_size, data_root=self.data_root,
-            )
-            test_anomaly_scores = adjust_anomaly_scores(
-                test_pred_df["A_Score_Global"].values, self.dataset, False,
-                self.window_size, data_root=self.data_root,
-            )
-            train_pred_df["A_Score_Global"] = train_anomaly_scores
-            test_pred_df["A_Score_Global"] = test_anomaly_scores
-
+        """Full anomaly-prediction pipeline (capabilities of reference
+        ``prediction.py:96-202``); returns the summary dict."""
+        frames = self._scored_frames(train, test, load_scores)
+        scores = {
+            split: df["A_Score_Global"].to_numpy() for split, df in frames.items()
+        }
         if self.use_mov_av:
-            smoothing_window = int(self.batch_size * self.window_size * 0.05)
-            train_anomaly_scores = (
-                pd.DataFrame(train_anomaly_scores).ewm(span=smoothing_window)
-                .mean().values.flatten()
-            )
-            test_anomaly_scores = (
-                pd.DataFrame(test_anomaly_scores).ewm(span=smoothing_window)
-                .mean().values.flatten()
-            )
+            scores = {split: self._smooth(s) for split, s in scores.items()}
 
-        # Per-feature thresholds (diagnostics; prediction.py:137-154)
-        out_dim = self.n_features if self.target_dims is None else len(self.target_dims)
-        all_preds = np.zeros((len(test_pred_df), out_dim))
-        for i in range(out_dim):
-            train_feature_scores = train_pred_df[f"A_Score_{i}"].values
-            test_feature_scores = test_pred_df[f"A_Score_{i}"].values
-            epsilon = find_epsilon(train_feature_scores, reg_level=2)
-            train_feature_preds = (train_feature_scores >= epsilon).astype(int)
-            test_feature_preds = (test_feature_scores >= epsilon).astype(int)
-            train_pred_df[f"A_Pred_{i}"] = train_feature_preds
-            test_pred_df[f"A_Pred_{i}"] = test_feature_preds
-            train_pred_df[f"Thresh_{i}"] = epsilon
-            test_pred_df[f"Thresh_{i}"] = epsilon
-            all_preds[:, i] = test_feature_preds
+        self._annotate_feature_thresholds(frames)
+        summary = self._entity_summary(scores["train"], scores["test"], true_anomalies)
 
-        # Entity-level evaluation with the three methods
-        e_eval = epsilon_eval(
-            train_anomaly_scores, test_anomaly_scores, true_anomalies,
-            reg_level=self.reg_level,
-        )
-        p_eval = pot_eval(
-            train_anomaly_scores, test_anomaly_scores, true_anomalies,
-            q=self.q, level=self.level, dynamic=self.dynamic_pot,
-        )
-        if true_anomalies is not None:
-            bf_eval = bf_search(
-                test_anomaly_scores, true_anomalies, start=0.01, end=2,
-                step_num=100, verbose=False,
-            )
-        else:
-            bf_eval = {}
-
-        print(f"Results using epsilon method:\n {e_eval}")
-        print(f"Results using peak-over-threshold method:\n {p_eval}")
-        print(f"Results using best f1 score search:\n {bf_eval}")
-
-        for k, v in e_eval.items():
-            if not isinstance(v, list):
-                e_eval[k] = float(v)
-        for k, v in p_eval.items():
-            if not isinstance(v, list):
-                p_eval[k] = float(v)
-        for k, v in bf_eval.items():
-            bf_eval[k] = float(v)
-
-        summary = {"epsilon_result": e_eval, "pot_result": p_eval, "bf_result": bf_eval}
         os.makedirs(self.save_path, exist_ok=True)
-        with open(f"{self.save_path}/{self.summary_file_name}", "w") as f:
+        with open(os.path.join(self.save_path, self.summary_file_name), "w") as f:
             json.dump(summary, f, indent=2)
 
         if save_output:
-            global_epsilon = e_eval["threshold"]
-            test_pred_df["A_True_Global"] = true_anomalies
-            train_pred_df["Thresh_Global"] = global_epsilon
-            test_pred_df["Thresh_Global"] = global_epsilon
-            train_pred_df["A_Pred_Global"] = (
-                train_anomaly_scores >= global_epsilon
-            ).astype(int)
-            test_preds_global = (test_anomaly_scores >= global_epsilon).astype(int)
-            if true_anomalies is not None:
-                test_preds_global = adjust_predicts(
-                    None, true_anomalies, global_epsilon, pred=test_preds_global
-                )
-            test_pred_df["A_Pred_Global"] = test_preds_global
-            print(f"Saving output to {self.save_path}/<train/test>_output.pkl")
-            train_pred_df.to_pickle(f"{self.save_path}/train_output.pkl")
-            test_pred_df.to_pickle(f"{self.save_path}/test_output.pkl")
-
+            self._write_outputs(
+                frames, scores, true_anomalies,
+                summary["epsilon_result"]["threshold"],
+            )
         print("-- Done.")
         return summary

@@ -59,3 +59,27 @@ def host_local_starts(
     assert bs % pcount == 0, f"batch {bs} not divisible by {pcount} hosts"
     per = bs // pcount
     return all_starts[:, pid * per : (pid + 1) * per]
+
+
+def epoch_arrays(mesh, starts, mask):
+    """Assemble the (n_batches, bs) epoch start/mask arrays for the jitted
+    epoch scan. Single-process: pass-through (jit shards them from the
+    ``constrain`` anchors). Multi-process: every host computes the SAME
+    seeded shuffle, keeps only its column block (``host_local_starts``), and
+    contributes it to a globally-sharded ``jax.Array`` whose batch dimension
+    is split over the mesh's data axis — the standard per-host data-feeding
+    pattern for pod slices."""
+    _, pcount = process_info()
+    if pcount == 1 or mesh is None:
+        return starts, mask
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec(None, "data"))
+    return (
+        jax.make_array_from_process_local_data(
+            sharding, np.asarray(host_local_starts(starts, pcount))
+        ),
+        jax.make_array_from_process_local_data(
+            sharding, np.asarray(host_local_starts(mask, pcount))
+        ),
+    )

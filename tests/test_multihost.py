@@ -1,8 +1,17 @@
-"""Multi-host helper tests (single-process semantics + slicing logic)."""
+"""Multi-host runtime tests: single-process no-ops, the pcount>1 slicing
+branch (process_info mocked — the CPU farm is one process), the epoch-array
+assembly used by Trainer, and the CLI mesh flags end-to-end."""
 
 import numpy as np
+import pytest
 
-from mtad_gat_tpu.parallel.multihost import host_local_starts, initialize, process_info
+import mtad_gat_tpu.parallel.multihost as mh
+from mtad_gat_tpu.parallel.multihost import (
+    epoch_arrays,
+    host_local_starts,
+    initialize,
+    process_info,
+)
 
 
 def test_initialize_single_host_noop():
@@ -14,3 +23,95 @@ def test_initialize_single_host_noop():
 def test_host_local_starts_single_host():
     starts = np.arange(12).reshape(3, 4)
     np.testing.assert_array_equal(host_local_starts(starts, 1), starts)
+
+
+def test_host_local_starts_multi_host_slicing(monkeypatch):
+    """Each mocked host keeps its contiguous column block, the blocks tile
+    the global batch exactly, and a non-divisible batch fails loudly."""
+    starts = np.arange(24).reshape(3, 8)
+
+    seen = []
+    for pid in range(4):
+        monkeypatch.setattr(mh, "process_info", lambda pid=pid: (pid, 4))
+        local = mh.host_local_starts(starts, 4)
+        assert local.shape == (3, 2)
+        np.testing.assert_array_equal(local, starts[:, pid * 2:(pid + 1) * 2])
+        seen.append(local)
+    np.testing.assert_array_equal(np.concatenate(seen, axis=1), starts)
+
+    monkeypatch.setattr(mh, "process_info", lambda: (0, 5))
+    with pytest.raises(AssertionError, match="not divisible"):
+        mh.host_local_starts(starts, 5)
+
+
+def test_epoch_arrays_single_process_passthrough():
+    starts = np.arange(8, dtype=np.int32).reshape(2, 4)
+    mask = np.ones((2, 4), np.float32)
+    s, m = epoch_arrays(None, starts, mask)
+    assert s is starts and m is mask
+
+
+def test_epoch_arrays_multi_process_assembly(monkeypatch):
+    """The pcount>1 branch builds a globally-sharded jax.Array from each
+    host's column block. With process_info mocked to (0, 2) in a single real
+    process, make_array_from_process_local_data sees a local block whose
+    columns cover half the global batch — we validate the slicing that feeds
+    it by intercepting the call."""
+    from mtad_gat_tpu.parallel import make_mesh
+
+    mesh = make_mesh(2, model_parallel=1)
+    starts = np.arange(16, dtype=np.int32).reshape(2, 8)
+    mask = np.ones((2, 8), np.float32)
+
+    monkeypatch.setattr(mh, "process_info", lambda: (1, 2))
+    calls = []
+
+    def fake_make(sharding, local):
+        calls.append((sharding, np.asarray(local)))
+        return local
+
+    monkeypatch.setattr(mh.jax, "make_array_from_process_local_data", fake_make)
+    s, m = mh.epoch_arrays(mesh, starts, mask)
+    assert len(calls) == 2
+    np.testing.assert_array_equal(calls[0][1], starts[:, 4:])  # host 1's block
+    np.testing.assert_array_equal(calls[1][1], mask[:, 4:])
+    spec = calls[0][0].spec
+    assert tuple(spec) == (None, "data")
+
+
+def test_train_cli_mesh_flags(tmp_path):
+    """--mesh_devices/--model_parallel build a mesh and train through it on
+    the CPU farm (data-parallel windows + model-axis graph partition)."""
+    import pickle
+
+    from mtad_gat_tpu.cli.train_cli import run_training
+    from mtad_gat_tpu.config import RunConfig
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "ServerMachineDataset" / "processed"
+    d.mkdir(parents=True)
+    series = rng.standard_normal((160, 38)).astype(np.float32)
+    label = np.zeros(60, np.float32)
+    label[20:30] = 1
+    for name, arr in [
+        ("machine-1-1_train", series),
+        ("machine-1-1_test", series[:60]),
+        ("machine-1-1_test_label", label),
+    ]:
+        with open(d / f"{name}.pkl", "wb") as f:
+            pickle.dump(arr, f)
+
+    cfg = RunConfig(
+        dataset="SMD", group="1-1", lookback=16, epochs=1, bs=8,
+        val_split=0.0, log_tensorboard=False, kernel_size=7,
+        gru_hid_dim=16, fc_hid_dim=16, fc_n_layers=1,
+        recon_hid_dim=16, recon_n_layers=1, dropout=0.0,
+        data_root=str(tmp_path), output_root=str(tmp_path / "out"),
+        mesh_devices=8, model_parallel=2,
+    )
+    save_path = run_training(cfg, run_id="testrun")
+    import json, os
+
+    with open(os.path.join(save_path, "summary.txt")) as f:
+        summary = json.load(f)
+    assert "bf_result" in summary and np.isfinite(summary["bf_result"]["f1"])
