@@ -33,6 +33,15 @@ Mosaic (TPU v5e) lowering constraints that shaped this design, all measured:
   row block BI, falling back to dense-recompute math (identical values)
   when the embedding is too wide for any row block.
 
+Attention-weight dropout (reference placement ``modules.py:89-90``: mask the
+softmaxed weights, scale by 1/(1-p), do NOT renormalize) runs INSIDE the
+kernel: the keep decision is a counter-based integer hash of
+(seed, batch, global row, global col) — tiling-independent by construction,
+so the backward's different row-blocking regenerates identical masks — and
+the online-softmax denominator accumulates unmasked weights while only the
+aggregate is masked, which streams exactly. The ``impl="pallas"`` training
+path therefore exercises this kernel at flagship defaults (dropout 0.3).
+
 Performance note: additive GATv2 scores are O(N^2 E) VPU work with no matmul
 structure, and XLA's fused broadcast+reduce on the decomposed dense path
 (``graph/ops.py``) already runs near VPU speed-of-light at the reference's
@@ -49,6 +58,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -61,11 +71,83 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# Attention-weight dropout inside the kernel.
+#
+# The keep/drop decision must be a pure function of (seed, batch, global row,
+# global col): the forward tiles rows by block_i but the backward re-tiles by
+# block_i_bwd (VMEM budgets differ), so any per-tile PRNG stream would
+# desynchronize the masks between passes. A counter-based integer hash over
+# the global coordinates is tiling-independent by construction and runs as
+# plain 32-bit VPU vector ops (xor/shift/multiply) — no PRNG state, no DMA.
+# Reference dropout placement (modules.py:89-90): the softmaxed weights are
+# masked and scaled by 1/(1-p) WITHOUT renormalizing the denominator.
+# ---------------------------------------------------------------------------
+
+_DROP_C1 = 0x9E3779B9   # golden-ratio increments / murmur-style finalizer
+_DROP_C2 = 0x85EBCA6B
+_DROP_C3 = 0xC2B2AE35
+_DROP_CB = 0x27D4EB2F
+
+
+def _hash_u32(seed, b, rows, cols):
+    """Mix (seed, batch, row, col) into well-scrambled uint32s. ``rows`` and
+    ``cols`` are uint32 arrays of the tile's GLOBAL coordinates; ``seed`` and
+    ``b`` are scalars."""
+    x = (
+        jnp.uint32(seed)
+        ^ (jnp.uint32(b) * jnp.uint32(_DROP_CB))
+        ^ (rows * jnp.uint32(_DROP_C1))
+        ^ (cols * jnp.uint32(_DROP_C2))
+    )
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(_DROP_C2)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(_DROP_C3)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def _keep_mask(seed, b, row0, col0, bi, bj, rate: float):
+    """(bi, bj) boolean keep mask for the tile whose top-left global
+    coordinate is (row0, col0). P(keep) = 1 - rate."""
+    rows = (
+        jax.lax.broadcasted_iota(jnp.uint32, (bi, bj), 0)
+        + jnp.uint32(row0)
+    )
+    cols = (
+        jax.lax.broadcasted_iota(jnp.uint32, (bi, bj), 1)
+        + jnp.uint32(col0)
+    )
+    bits = _hash_u32(seed, b, rows, cols)
+    return bits < jnp.uint32(int(round((1.0 - rate) * 4294967296.0)))
+
+
+def hash_keep_mask(seed, batch: int, n_rows: int, n_cols: int, rate: float):
+    """Pure-XLA replica of the in-kernel mask for the whole (B, N, N) grid —
+    the oracle for tests and the dense-fallback backward."""
+    rows = jnp.broadcast_to(
+        jnp.arange(n_rows, dtype=jnp.uint32)[:, None], (n_rows, n_cols)
+    )
+    cols = jnp.broadcast_to(
+        jnp.arange(n_cols, dtype=jnp.uint32)[None, :], (n_rows, n_cols)
+    )
+    thresh = jnp.uint32(int(round((1.0 - rate) * 4294967296.0)))
+
+    def one(b):
+        return _hash_u32(seed, b, rows, cols) < thresh
+
+    return jax.vmap(one)(jnp.arange(batch, dtype=jnp.uint32))
+
+
 def _kernel(
-    p_ref, q_ref, a_ref, bias_ref, v_ref, o_ref,
+    p_ref, q_ref, a_ref, bias_ref, v_ref, seed_ref, o_ref,
     s_scr, m_scr, l_scr, acc_scr,
-    *, alpha: float, n_nodes: int, block_j: int, has_bias: bool,
+    *, alpha: float, n_nodes: int, block_i: int, block_j: int,
+    has_bias: bool, dropout_rate: float = 0.0,
 ):
+    b_idx = pl.program_id(0)
+    i_idx = pl.program_id(1)
     j = pl.program_id(2)
     nj = pl.num_programs(2)
     c = pl.program_id(3)
@@ -104,9 +186,19 @@ def _kernel(
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         corr = jnp.exp(m_prev - m_new)
         e_s = jnp.exp(s - m_new)                 # (BI, BJ)
+        # denominator accumulates the FULL weights; dropout only masks the
+        # aggregate (reference placement, modules.py:89-90)
         l_new = l_prev * corr + jnp.sum(e_s, axis=1, keepdims=True)
+        e_agg = e_s
+        if dropout_rate > 0.0:
+            keep = _keep_mask(
+                seed_ref[0, 0], b_idx,
+                i_idx * block_i, j * block_j,
+                e_s.shape[0], e_s.shape[1], dropout_rate,
+            )
+            e_agg = jnp.where(keep, e_s * (1.0 / (1.0 - dropout_rate)), 0.0)
         acc_scr[...] = acc_scr[...] * corr + jnp.dot(
-            e_s, v_ref[0].astype(jnp.float32),
+            e_agg, v_ref[0].astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -119,16 +211,18 @@ def _kernel(
 
 
 def _kernel_res(
-    p_ref, q_ref, a_ref, bias_ref, v_ref, o_ref, u_ref, m_ref, l_ref,
+    p_ref, q_ref, a_ref, bias_ref, v_ref, seed_ref, o_ref, u_ref, m_ref, l_ref,
     s_scr, m_scr, l_scr, acc_scr,
-    *, alpha: float, n_nodes: int, block_j: int, has_bias: bool,
+    *, alpha: float, n_nodes: int, block_i: int, block_j: int,
+    has_bias: bool, dropout_rate: float = 0.0,
 ):
     """Forward with residuals: also writes the pre-sigmoid aggregate u and
     the per-row softmax stats (m, l) used by the blockwise backward."""
     _kernel(
-        p_ref, q_ref, a_ref, bias_ref, v_ref, o_ref,
+        p_ref, q_ref, a_ref, bias_ref, v_ref, seed_ref, o_ref,
         s_scr, m_scr, l_scr, acc_scr,
-        alpha=alpha, n_nodes=n_nodes, block_j=block_j, has_bias=has_bias,
+        alpha=alpha, n_nodes=n_nodes, block_i=block_i, block_j=block_j,
+        has_bias=has_bias, dropout_rate=dropout_rate,
     )
 
     @pl.when(
@@ -217,12 +311,18 @@ class _Plan:
 def _fused_forward(
     p: jax.Array, q: jax.Array, a: jax.Array, bias: Optional[jax.Array],
     v: jax.Array, alpha: float, interpret: bool, with_residuals: bool = False,
+    seed: Optional[jax.Array] = None, dropout_rate: float = 0.0,
 ):
     B, N, E = p.shape
     D = v.shape[-1]
     plan = _Plan(B, N, E, D)
     has_bias = bias is not None
     p_p, q_p, a_p, bias_p, v_p = plan.pad_inputs(p, q, a, bias, v)
+    seed_p = (
+        jnp.zeros((1, 1), jnp.uint32)
+        if seed is None
+        else jnp.asarray(seed, jnp.uint32).reshape(1, 1)
+    )
 
     grid = (B, plan.ni, plan.nj, plan.nc)
     bi, bj, ec, Dp, Nip = plan.block_i, plan.block_j, plan.ec, plan.Dp, plan.Nip
@@ -236,8 +336,9 @@ def _fused_forward(
             else pl.BlockSpec((1, 1), lambda b, i, j, c: (0, 0))
         ),
         pl.BlockSpec((1, bj, Dp), lambda b, i, j, c: (b, j, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # dropout seed scalar
     ]
-    operands = [p_p, q_p, a_p, bias_p, v_p]
+    operands = [p_p, q_p, a_p, bias_p, v_p, seed_p]
     scratch = [
         pltpu.VMEM((bi, bj), jnp.float32),    # score tile accumulator
         pltpu.VMEM((bi, 128), jnp.float32),   # running max
@@ -247,7 +348,8 @@ def _fused_forward(
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary"),
     )
-    kw = dict(alpha=alpha, n_nodes=N, block_j=bj, has_bias=has_bias)
+    kw = dict(alpha=alpha, n_nodes=N, block_i=bi, block_j=bj,
+              has_bias=has_bias, dropout_rate=dropout_rate)
 
     if not with_residuals:
         out = pl.pallas_call(
@@ -306,8 +408,18 @@ def _fused_forward(
 
 
 def _ds_tile(p, q, a, bias_blk, v, m_col, l_col, du, dvec_col,
-             *, alpha, n_nodes, block_j, has_bias, j_idx):
-    """Recompute w and ds for one (BI, BJ) tile. Returns (w, ds) in f32."""
+             *, alpha, n_nodes, block_j, has_bias, j_idx,
+             dropout_rate=0.0, seed=None, b_idx=None, row0=None):
+    """Recompute the tile's attention weights and score gradient.
+
+    Returns (w_agg, ds) in f32 where w_agg is the weight actually used in the
+    aggregate (dropout-masked and 1/(1-p)-scaled when dropout is active) and,
+    with u_i = sum_j w_agg_ij v_j, out = sigmoid(u):
+
+        ds_ij = w_agg_ij * (du_i . v_j) - w_ij * (du_i . u_i)
+
+    (the first term flows through the masked numerator, the second through
+    the unmasked softmax denominator)."""
     bi, bj = p.shape[0], q.shape[0]
     pf = p.astype(jnp.float32)
     qf = q.astype(jnp.float32)
@@ -320,15 +432,22 @@ def _ds_tile(p, q, a, bias_blk, v, m_col, l_col, du, dvec_col,
     w = jnp.exp(s - m_col) / l_col
     col = jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1) + j_idx * block_j
     w = jnp.where(col < n_nodes, w, 0.0)
+    if dropout_rate > 0.0:
+        keep = _keep_mask(
+            seed, b_idx, row0, j_idx * block_j, bi, bj, dropout_rate
+        )
+        w_agg = jnp.where(keep, w * (1.0 / (1.0 - dropout_rate)), 0.0)
+    else:
+        w_agg = w
     t = jnp.dot(du, v.astype(jnp.float32).T, preferred_element_type=jnp.float32)
-    ds = w * (t - dvec_col)
-    return w, ds
+    ds = w_agg * t - w * dvec_col
+    return w_agg, ds
 
 
 def _bwd_dp_da_kernel(
-    p_ref, q_ref, a_ref, bias_ref, v_ref, m_ref, l_ref, du_ref, dvec_ref,
-    dp_ref, da_ref, dp_scr, da_scr,
-    *, alpha, n_nodes, block_j, has_bias,
+    p_ref, q_ref, a_ref, bias_ref, v_ref, seed_ref, m_ref, l_ref, du_ref,
+    dvec_ref, dp_ref, da_ref, dp_scr, da_scr,
+    *, alpha, n_nodes, block_i, block_j, has_bias, dropout_rate=0.0,
 ):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
@@ -345,6 +464,8 @@ def _bwd_dp_da_kernel(
         du_ref[0].astype(jnp.float32), dvec_ref[0][:, 0:1],
         alpha=alpha, n_nodes=n_nodes, block_j=block_j,
         has_bias=has_bias, j_idx=j,
+        dropout_rate=dropout_rate, seed=seed_ref[0, 0],
+        b_idx=pl.program_id(0), row0=pl.program_id(1) * block_i,
     )
 
     z = p.astype(jnp.float32)[:, None, :] + \
@@ -367,9 +488,9 @@ def _bwd_dp_da_kernel(
 
 
 def _bwd_dq_dv_kernel(
-    p_ref, q_ref, a_ref, bias_ref, v_ref, m_ref, l_ref, du_ref, dvec_ref,
-    dq_ref, dv_ref, dq_scr, dv_scr,
-    *, alpha, n_nodes, block_j, has_bias,
+    p_ref, q_ref, a_ref, bias_ref, v_ref, seed_ref, m_ref, l_ref, du_ref,
+    dvec_ref, dq_ref, dv_ref, dq_scr, dv_scr,
+    *, alpha, n_nodes, block_i, block_j, has_bias, dropout_rate=0.0,
 ):
     i = pl.program_id(2)
     ni = pl.num_programs(2)
@@ -382,14 +503,17 @@ def _bwd_dq_dv_kernel(
 
     p, q, a = p_ref[0], q_ref[0], a_ref[...]
     du = du_ref[0].astype(jnp.float32)
-    w, ds = _ds_tile(
+    w_agg, ds = _ds_tile(
         p, q, a, bias_ref[...] if has_bias else None, v_ref[0],
         m_ref[0][:, 0:1], l_ref[0][:, 0:1], du, dvec_ref[0][:, 0:1],
         alpha=alpha, n_nodes=n_nodes, block_j=block_j,
         has_bias=has_bias, j_idx=j,
+        dropout_rate=dropout_rate, seed=seed_ref[0, 0],
+        b_idx=pl.program_id(0), row0=i * block_i,
     )
 
-    dv_scr[...] += jnp.dot(w.T, du, preferred_element_type=jnp.float32)
+    # dv flows only through the (masked) aggregate weights
+    dv_scr[...] += jnp.dot(w_agg.T, du, preferred_element_type=jnp.float32)
 
     z = p.astype(jnp.float32)[:, None, :] + \
         q.astype(jnp.float32)[None, :, :]                        # (BI,BJ,Ep)
@@ -407,9 +531,9 @@ def _bwd_dq_dv_kernel(
 
 
 def _bwd_dbias_kernel(
-    p_ref, q_ref, a_ref, bias_ref, v_ref, m_ref, l_ref, du_ref, dvec_ref,
-    dbias_ref, dbias_scr,
-    *, alpha, n_nodes, block_j, has_bias,
+    p_ref, q_ref, a_ref, bias_ref, v_ref, seed_ref, m_ref, l_ref, du_ref,
+    dvec_ref, dbias_ref, dbias_scr,
+    *, alpha, n_nodes, block_i, block_j, has_bias, dropout_rate=0.0,
 ):
     b = pl.program_id(2)
     nb = pl.num_programs(2)
@@ -425,6 +549,8 @@ def _bwd_dbias_kernel(
         du_ref[0].astype(jnp.float32), dvec_ref[0][:, 0:1],
         alpha=alpha, n_nodes=n_nodes, block_j=block_j,
         has_bias=has_bias, j_idx=j,
+        dropout_rate=dropout_rate, seed=seed_ref[0, 0],
+        b_idx=b, row0=pl.program_id(0) * block_i,
     )
     dbias_scr[...] += ds
 
@@ -433,33 +559,40 @@ def _bwd_dbias_kernel(
         dbias_ref[...] = dbias_scr[...].astype(dbias_ref.dtype)
 
 
-def _dense_backward(p, q, a, bias, v, g, alpha):
+def _dense_backward(p, q, a, bias, v, g, alpha, seed=None, dropout_rate=0.0):
     """Exact-math fallback when the blockwise backward cannot fit VMEM
-    (very wide embeddings): differentiate the decomposed dense path, which
+    (very wide embeddings): differentiate the decomposed dense path — with
+    the SAME hash-derived dropout mask when dropout is active — which
     computes identical values to the fused forward."""
     has_bias = bias is not None
-    if has_bias:
-        _, vjp = jax.vjp(
-            lambda p_, q_, a_, b_, v_: _dense_reference(p_, q_, a_, b_, v_, alpha),
-            p, q, a, bias, v,
+    keep = (
+        hash_keep_mask(seed, p.shape[0], p.shape[1], q.shape[1], dropout_rate)
+        if dropout_rate > 0.0
+        else None
+    )
+
+    def f(p_, q_, a_, b_, v_):
+        return _dense_reference(
+            p_, q_, a_, b_, v_, alpha, keep=keep, dropout_rate=dropout_rate
         )
+
+    if has_bias:
+        _, vjp = jax.vjp(f, p, q, a, bias, v)
         dp, dq, da, dbias, dv = vjp(g)
     else:
-        _, vjp = jax.vjp(
-            lambda p_, q_, a_, v_: _dense_reference(p_, q_, a_, None, v_, alpha),
-            p, q, a, v,
-        )
+        _, vjp = jax.vjp(lambda p_, q_, a_, v_: f(p_, q_, a_, None, v_), p, q, a, v)
         dp, dq, da, dv = vjp(g)
         dbias = None
     return dp, dq, da, dbias, dv
 
 
-def _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret):
+def _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret,
+                    seed=None, dropout_rate=0.0):
     B, N, E = p.shape
     D = v.shape[-1]
     plan = _Plan(B, N, E, D)
     if not plan.bwd_feasible and not interpret:
-        return _dense_backward(p, q, a, bias, v, g, alpha)
+        return _dense_backward(p, q, a, bias, v, g, alpha, seed, dropout_rate)
     has_bias = bias is not None
     if interpret:
         bi, ni = plan.block_i, plan.ni
@@ -472,12 +605,18 @@ def _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret):
     dvec = jnp.sum(du * u, axis=-1)                              # (B,N)
 
     p_p, q_p, a_p, bias_p, v_p = plan.pad_inputs(p, q, a, bias, v)
+    seed_p = (
+        jnp.zeros((1, 1), jnp.uint32)
+        if seed is None
+        else jnp.asarray(seed, jnp.uint32).reshape(1, 1)
+    )
     du_p = plan.pad3(du, plan.Nip, Dp)
     m_p = plan.row_stats(m, pad_value=1e30)
     l_p = plan.row_stats(l, pad_value=1.0)
     dvec_p = plan.row_stats(dvec)
 
-    kw = dict(alpha=alpha, n_nodes=N, block_j=bj, has_bias=has_bias)
+    kw = dict(alpha=alpha, n_nodes=N, block_i=bi, block_j=bj,
+              has_bias=has_bias, dropout_rate=dropout_rate)
     bias_spec_ij = (
         pl.BlockSpec((bi, bj), lambda b, i, j: (i, j))
         if has_bias
@@ -491,12 +630,13 @@ def _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret):
         pl.BlockSpec((1, Ep), lambda b, i, j: (0, 0)),           # a
         bias_spec_ij,                                            # bias
         pl.BlockSpec((1, bj, Dp), lambda b, i, j: (b, j, 0)),    # v
+        pl.BlockSpec(memory_space=pltpu.SMEM),                   # dropout seed
         pl.BlockSpec((1, bi, 128), lambda b, i, j: (b, i, 0)),   # m
         pl.BlockSpec((1, bi, 128), lambda b, i, j: (b, i, 0)),   # l
         pl.BlockSpec((1, bi, Dp), lambda b, i, j: (b, i, 0)),    # du
         pl.BlockSpec((1, bi, 128), lambda b, i, j: (b, i, 0)),   # dvec
     ]
-    operands = [p_p, q_p, a_p, bias_p, v_p, m_p, l_p, du_p, dvec_p]
+    operands = [p_p, q_p, a_p, bias_p, v_p, seed_p, m_p, l_p, du_p, dvec_p]
     dp_pad, da_part = pl.pallas_call(
         functools.partial(_bwd_dp_da_kernel, **kw),
         out_shape=(
@@ -533,6 +673,7 @@ def _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret):
         pl.BlockSpec((1, Ep), lambda b, j, i: (0, 0)),
         bias_spec_ji,
         pl.BlockSpec((1, bj, Dp), lambda b, j, i: (b, j, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),                   # dropout seed
         pl.BlockSpec((1, bi, 128), lambda b, j, i: (b, i, 0)),
         pl.BlockSpec((1, bi, 128), lambda b, j, i: (b, i, 0)),
         pl.BlockSpec((1, bi, Dp), lambda b, j, i: (b, i, 0)),
@@ -572,6 +713,7 @@ def _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret):
         pl.BlockSpec((1, Ep), lambda i, j, b: (0, 0)),
         pl.BlockSpec((bi, bj), lambda i, j, b: (i, j)),
         pl.BlockSpec((1, bj, Dp), lambda i, j, b: (b, j, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),                   # dropout seed
         pl.BlockSpec((1, bi, 128), lambda i, j, b: (b, i, 0)),
         pl.BlockSpec((1, bi, 128), lambda i, j, b: (b, i, 0)),
         pl.BlockSpec((1, bi, Dp), lambda i, j, b: (b, i, 0)),
@@ -593,26 +735,45 @@ def _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret):
     return dp, dq, da, dbias, dv
 
 
-def _dense_reference(p, q, a, bias, v, alpha):
+def _dense_reference(p, q, a, bias, v, alpha, keep=None, dropout_rate=0.0):
     scores = gatv2_scores_dense(p, q, a, alpha)
-    return gat_aggregate_dense(scores, v, bias)
+    if keep is None:
+        return gat_aggregate_dense(scores, v, bias)
+    # dropout with the kernel's hash mask: masked post-softmax, unnormalized
+    if bias is not None:
+        scores = scores + bias
+    att = jax.nn.softmax(scores, axis=2)
+    att = jnp.where(keep, att / (1.0 - dropout_rate), 0.0)
+    h = jnp.einsum(
+        "bij,bjd->bid", att, v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+    return jax.nn.sigmoid(h)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _fused(p, q, a, bias, v, alpha, interpret):
-    return _fused_forward(p, q, a, bias, v, alpha, interpret)
-
-
-def _fused_fwd(p, q, a, bias, v, alpha, interpret):
-    out, u, m, l = _fused_forward(
-        p, q, a, bias, v, alpha, interpret, with_residuals=True
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _fused(p, q, a, bias, v, seed, alpha, interpret, dropout_rate):
+    return _fused_forward(
+        p, q, a, bias, v, alpha, interpret,
+        seed=seed, dropout_rate=dropout_rate,
     )
-    return out, (p, q, a, bias, v, u, m, l)
 
 
-def _fused_bwd(alpha, interpret, res, g):
-    p, q, a, bias, v, u, m, l = res
-    return _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret)
+def _fused_fwd(p, q, a, bias, v, seed, alpha, interpret, dropout_rate):
+    out, u, m, l = _fused_forward(
+        p, q, a, bias, v, alpha, interpret, with_residuals=True,
+        seed=seed, dropout_rate=dropout_rate,
+    )
+    return out, (p, q, a, bias, v, seed, u, m, l)
+
+
+def _fused_bwd(alpha, interpret, dropout_rate, res, g):
+    p, q, a, bias, v, seed, u, m, l = res
+    dp, dq, da, dbias, dv = _fused_backward(
+        p, q, a, bias, v, u, m, l, g, alpha, interpret,
+        seed=seed, dropout_rate=dropout_rate,
+    )
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)  # int primal
+    return dp, dq, da, dbias, dv, dseed
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -629,12 +790,15 @@ def gatv2_attention_fused(
     dropout_rng: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Fused GATv2 attention; falls back to the dense XLA path when attention
-    dropout is active (training) — the fused kernel is the inference/scoring
-    hot path."""
-    if dropout_rate > 0.0 and dropout_rng is not None:
-        scores = gatv2_scores_dense(p, q, a, alpha)
-        return gat_aggregate_dense(scores, v, bias, dropout_rate, dropout_rng)
+    """Fused GATv2 attention, forward and backward, including in-kernel
+    attention-weight dropout (hash-derived mask, reference placement) — the
+    training hot path at flagship defaults (dropout 0.3)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _fused(p, q, a, bias, v, float(alpha), bool(interpret))
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        seed = jax.random.bits(dropout_rng, (), jnp.uint32).reshape(1, 1)
+        rate = float(dropout_rate)
+    else:
+        seed = jnp.zeros((1, 1), jnp.uint32)
+        rate = 0.0
+    return _fused(p, q, a, bias, v, seed, float(alpha), bool(interpret), rate)

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 from mtad_gat_tpu.graph.ops import gat_aggregate_dense, gatv2_scores_dense
 from mtad_gat_tpu.kernels.gat_pallas import _fused
 
+_NOSEED = jnp.zeros((1, 1), jnp.uint32)  # dropout off
+
 
 def _case(rng, b, n, e, d, with_bias=True):
     p = jnp.asarray(rng.standard_normal((b, n, e)), jnp.float32)
@@ -38,7 +40,7 @@ def test_backward_matches_dense(n, e, d, b):
     g = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
 
     def loss_fused(p, q, a, bias, v):
-        return jnp.sum(_fused(p, q, a, bias, v, 0.2, True) * g)
+        return jnp.sum(_fused(p, q, a, bias, v, _NOSEED, 0.2, True, 0.0) * g)
 
     def loss_dense(p, q, a, bias, v):
         return jnp.sum(_dense(p, q, a, bias, v) * g)
@@ -58,7 +60,7 @@ def test_backward_no_bias():
     g = jnp.asarray(rng.standard_normal((1, 40, 8)), jnp.float32)
 
     gf = jax.grad(
-        lambda p, q, a, v: jnp.sum(_fused(p, q, a, None, v, 0.2, True) * g),
+        lambda p, q, a, v: jnp.sum(_fused(p, q, a, None, v, _NOSEED, 0.2, True, 0.0) * g),
         argnums=(0, 1, 2, 3),
     )(p, q, a, v)
     gd = jax.grad(

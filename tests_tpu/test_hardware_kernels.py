@@ -107,3 +107,146 @@ def test_train_step_with_pallas_impl_on_hardware(tmp_path):
     state, (f, r) = trainer._epoch_train(state, series, starts, mask)
     assert np.isfinite(np.asarray(f)).all()
     assert np.isfinite(np.asarray(r)).all()
+
+
+def test_fused_dropout_matches_hash_oracle_on_hardware():
+    """In-kernel attention dropout at the flagship MSL temporal shape
+    (N=100, E=110): Mosaic must lower the uint32 hash ops, and forward plus
+    all five gradients must equal the dense hash-mask oracle. Oracle matmuls
+    run at highest precision so the comparison measures the kernel, not the
+    oracle's bf16 passes."""
+    from mtad_gat_tpu.kernels.gat_pallas import hash_keep_mask
+
+    B, N, E, D = 4, 100, 110, 55
+    p, q, a, bias, v = _inputs(B, N, E, D, jnp.float32)
+    key = jax.random.PRNGKey(3)
+    rate = 0.3
+    seed = jax.random.bits(key, (), jnp.uint32).reshape(1, 1)
+    keep = hash_keep_mask(seed[0, 0], B, N, N, rate)
+
+    with jax.default_matmul_precision("highest"):
+        out = jax.jit(
+            lambda *xs: gatv2_attention_fused(
+                *xs, 0.2, dropout_rate=rate, dropout_rng=key
+            )
+        )(p, q, a, bias, v)
+        want = jax.jit(
+            lambda *xs: _dense_reference(
+                *xs, 0.2, keep=keep, dropout_rate=rate
+            )
+        )(p, q, a, bias, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(want), atol=1e-4
+        )
+
+        def loss_fused(*xs):
+            return jnp.sum(
+                gatv2_attention_fused(
+                    *xs, 0.2, dropout_rate=rate, dropout_rng=key
+                ) ** 2
+            )
+
+        def loss_dense(*xs):
+            return jnp.sum(
+                _dense_reference(*xs, 0.2, keep=keep, dropout_rate=rate) ** 2
+            )
+
+        g1 = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4)))(p, q, a, bias, v)
+        g2 = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2, 3, 4)))(p, q, a, bias, v)
+    for name, x, y in zip("pqabv", g1, g2):
+        x, y = np.asarray(x), np.asarray(y)
+        rel = np.abs(x - y).max() / (np.abs(y).max() + 1e-9)
+        assert rel < 1e-4, f"d{name}: rel err {rel}"
+
+
+def test_train_step_pallas_with_dropout_on_hardware(tmp_path):
+    """The flagship default config (dropout 0.3) with attention_impl='pallas'
+    trains THROUGH the fused kernel on the chip — the in-kernel dropout path
+    under grad — with finite losses and finite nonzero grads."""
+    from mtad_gat_tpu.config import MTADGATConfig, TrainConfig
+    from mtad_gat_tpu.data.windows import batched_starts
+    from mtad_gat_tpu.training import Trainer
+
+    cfg = MTADGATConfig(
+        n_features=38, window_size=100, out_dim=38, kernel_size=7,
+        gru_hid_dim=150, forecast_hid_dim=150, forecast_n_layers=3,
+        recon_hid_dim=150, recon_n_layers=1, dropout=0.3,
+        attention_impl="pallas",
+    )
+    tcfg = TrainConfig(epochs=1, val_split=0.0, bs=32, init_lr=1e-3,
+                       log_tensorboard=False, seed=0)
+    trainer = Trainer(cfg, tcfg, save_path="", log_dir=str(tmp_path))
+    state = trainer.init_state()
+    series = jnp.asarray(
+        np.random.default_rng(0).standard_normal((260, 38)), jnp.float32
+    )
+    starts, mask, _ = batched_starts(64, 32)
+    state, (f, r) = trainer._epoch_train(state, series, starts, mask)
+    assert np.isfinite(np.asarray(f)).all()
+    assert np.isfinite(np.asarray(r)).all()
+
+
+def test_bf16_train_step_loss_tracks_f32_on_hardware(tmp_path):
+    """compute_dtype='bfloat16' full train epoch on the chip: losses finite
+    and within a loose band of the f32 epoch (same data, same seed)."""
+    from mtad_gat_tpu.config import MTADGATConfig, TrainConfig
+    from mtad_gat_tpu.data.windows import batched_starts
+    from mtad_gat_tpu.training import Trainer
+
+    series = jnp.asarray(
+        np.random.default_rng(1).standard_normal((300, 16)), jnp.float32
+    )
+    starts, mask, _ = batched_starts(128, 32)
+
+    def run(dtype):
+        cfg = MTADGATConfig(
+            n_features=16, window_size=48, out_dim=16, kernel_size=7,
+            gru_hid_dim=32, forecast_hid_dim=32, forecast_n_layers=1,
+            recon_hid_dim=32, recon_n_layers=1, dropout=0.0,
+            compute_dtype=dtype,
+        )
+        tcfg = TrainConfig(epochs=1, val_split=0.0, bs=32, init_lr=1e-3,
+                           log_tensorboard=False, seed=0)
+        tr = Trainer(cfg, tcfg, save_path="", log_dir=str(tmp_path))
+        state = tr.init_state()
+        state, (f, r) = tr._epoch_train(state, series, starts, mask)
+        return np.asarray(f, np.float64), np.asarray(r, np.float64)
+
+    f32_f, f32_r = run("float32")
+    bf_f, bf_r = run("bfloat16")
+    assert np.isfinite(bf_f).all() and np.isfinite(bf_r).all()
+    # same init, same data: epoch-mean losses should agree to bf16 noise
+    np.testing.assert_allclose(bf_f.mean(), f32_f.mean(), rtol=0.05)
+    np.testing.assert_allclose(bf_r.mean(), f32_r.mean(), rtol=0.05)
+
+
+def test_remat_attention_train_step_on_hardware(tmp_path):
+    """remat_attention=True (GAT recompute in backward) compiles on the chip
+    and produces the same losses as the non-remat step (identical math)."""
+    from mtad_gat_tpu.config import MTADGATConfig, TrainConfig
+    from mtad_gat_tpu.data.windows import batched_starts
+    from mtad_gat_tpu.training import Trainer
+
+    series = jnp.asarray(
+        np.random.default_rng(2).standard_normal((200, 12)), jnp.float32
+    )
+    starts, mask, _ = batched_starts(64, 16)
+
+    def run(remat):
+        cfg = MTADGATConfig(
+            n_features=12, window_size=32, out_dim=12, kernel_size=7,
+            gru_hid_dim=24, forecast_hid_dim=24, forecast_n_layers=1,
+            recon_hid_dim=24, recon_n_layers=1, dropout=0.0,
+            remat_attention=remat,
+        )
+        tcfg = TrainConfig(epochs=1, val_split=0.0, bs=16, init_lr=1e-3,
+                           log_tensorboard=False, seed=0)
+        tr = Trainer(cfg, tcfg, save_path="", log_dir=str(tmp_path))
+        state = tr.init_state()
+        state, (f, r) = tr._epoch_train(state, series, starts, mask)
+        return np.asarray(f, np.float64), np.asarray(r, np.float64)
+
+    f0, r0 = run(False)
+    f1, r1 = run(True)
+    np.testing.assert_allclose(f1, f0, rtol=1e-4)
+    np.testing.assert_allclose(r1, r0, rtol=1e-4)
