@@ -47,45 +47,46 @@ def tpu_healthy(timeout: float = 300.0) -> bool:
 def bench_tpu(epochs: int = 4, batches_per_epoch: int = 50, bs: int = 256) -> float:
     """Steady-state training throughput: each timed call is one jitted
     lax.scan over ``batches_per_epoch`` train steps (gather + fwd + bwd +
-    adam), so per-call dispatch overhead is amortized like in real training."""
-    import jax
+    adam), so per-call dispatch overhead is amortized like in real training.
+    Warmup fetches a result to the host: block_until_ready alone is not a
+    reliable completion barrier on the remote-attached TPU platform."""
+    return _bench_tpu_dtype("bfloat16", epochs, batches_per_epoch, bs)
+
+
+def bench_tpu_f32(epochs: int = 2, batches_per_epoch: int = 50, bs: int = 256) -> float:
+    """Same measurement at float32 compute (the CLI default dtype)."""
+    return _bench_tpu_dtype("float32", epochs, batches_per_epoch, bs)
+
+
+def _bench_tpu_dtype(dtype: str, epochs: int, batches_per_epoch: int, bs: int) -> float:
     import jax.numpy as jnp
 
     from mtad_gat_tpu.config import MTADGATConfig, TrainConfig
     from mtad_gat_tpu.data.windows import batched_starts
     from mtad_gat_tpu.training import Trainer
+    import tempfile
 
     cfg = MTADGATConfig(
         n_features=38, window_size=100, out_dim=38, kernel_size=7,
         use_gatv2=True, gru_hid_dim=150, forecast_n_layers=3,
         forecast_hid_dim=150, recon_n_layers=1, recon_hid_dim=150,
-        dropout=0.3, alpha=0.2, compute_dtype="bfloat16",
+        dropout=0.3, alpha=0.2, compute_dtype=dtype,
     )
     tcfg = TrainConfig(epochs=1, val_split=0.0, bs=bs, init_lr=1e-3,
                        log_tensorboard=False, seed=0)
-    import tempfile
-
     n_windows = batches_per_epoch * bs
-
     with tempfile.TemporaryDirectory() as tmp:
         trainer = Trainer(cfg, tcfg, save_path="", log_dir=tmp)
         state = trainer.init_state()
-
         rng = np.random.default_rng(0)
-        series = jnp.asarray(
-            rng.standard_normal((n_windows + 200, 38)), jnp.float32
-        )
+        series = jnp.asarray(rng.standard_normal((n_windows + 200, 38)), jnp.float32)
         starts, mask, _ = batched_starts(n_windows, bs)
-
-        # warmup / compile (fetch to host: block_until_ready alone is not a
-        # reliable completion barrier on the remote-attached TPU platform)
         state, out = trainer._epoch_train(state, series, starts, mask)
         np.asarray(out[0])
-
         t0 = time.perf_counter()
         for _ in range(epochs):
             state, out = trainer._epoch_train(state, series, starts, mask)
-        np.asarray(out[0])  # forces completion of the whole chained sequence
+        np.asarray(out[0])
         dt = time.perf_counter() - t0
     return epochs * n_windows / dt
 
@@ -124,12 +125,12 @@ def bench_torch_cpu(steps: int = 1, bs: int = 64) -> float:
     return steps * bs / dt
 
 
-# Reference throughput measured on this host (2026-08): reference torch model,
-# CPU (all threads), bs=64 train step = 7.6 windows/s (best of several runs;
-# single-run measurements fluctuate 0.9-7.6 w/s under memory pressure, so the
-# pinned best-case is used — generous to the reference). Re-measure with
-# BENCH_MEASURE_REF=1.
-REF_CPU_WPS = 7.6
+# Reference throughput measured on this host (2026-08-20): reference torch
+# model, CPU (all threads), bs=64 train step. Median of 6 timed steps on an
+# otherwise-idle host = 37.03 windows/s; raw samples + exact procedure are
+# committed in docs/ref_baseline.json. Re-measure inline with
+# BENCH_MEASURE_REF=1 (uses the same procedure).
+REF_CPU_WPS = 37.03
 
 
 def main() -> None:
@@ -146,6 +147,8 @@ def main() -> None:
             "value": round(tpu_wps, 2),
             "unit": "windows/s",
             "vs_baseline": round(tpu_wps / ref_wps, 2),
+            "dtype": "bfloat16",
+            "note": "CPU fallback run (TPU unreachable)",
         }))
         return
     tpu_wps = bench_tpu()
@@ -155,12 +158,24 @@ def main() -> None:
             ref_wps = max(bench_torch_cpu(), 1e-6)
         except Exception as e:
             print(f"reference CPU baseline failed: {e}", file=sys.stderr)
+    extra = {}
+    if os.environ.get("BENCH_F32"):
+        # secondary number: same step at float32 compute (the CLI default
+        # dtype), reported alongside — the headline stays bf16
+        extra["value_float32"] = round(bench_tpu_f32(), 2)
     vs = tpu_wps / ref_wps
     print(json.dumps({
         "metric": "train_windows_per_sec",
         "value": round(tpu_wps, 2),
         "unit": "windows/s",
         "vs_baseline": round(vs, 2),
+        "dtype": "bfloat16",
+        "baseline": {
+            "what": "reference torch on host CPU, bs 64",
+            "windows_per_sec": ref_wps,
+            "samples": "docs/ref_baseline.json",
+        },
+        **extra,
     }))
 
 

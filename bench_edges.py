@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""SDDMM/softmax/SpMM edges-per-second benchmark (BASELINE.md build-target:
+"SDDMM/SpMM edges/s/chip at 1 chip").
+
+Regenerates the dense-XLA vs fused-Pallas table in docs/PERFORMANCE.md: the
+complete-graph GATv2 attention forward (scores + softmax + aggregate +
+sigmoid) at growing node counts, bf16 inputs, E=256, D=128. Edges/s counts
+B * N * N scored edges per forward pass.
+
+Prints one JSON line per (N, path). Modes:
+
+  python bench_edges.py              # TPU table (dense + pallas per N)
+  python bench_edges.py --ring       # ring path on the 8-device CPU farm
+                                     # (shape/collective validation + per-
+                                     # device edges/s; no TPU needed)
+
+The reference has no counterpart (its attention materializes the (b,N,N,2d)
+concat tensor, modules.py:97-122, and publishes no perf numbers) — this is
+the repo's own north-star metric.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _inputs(B, N, E, D, dtype, jnp):
+    r = np.random.default_rng(0)
+    return (
+        jnp.asarray(r.standard_normal((B, N, E)), dtype),
+        jnp.asarray(r.standard_normal((B, N, E)), dtype),
+        jnp.asarray(r.standard_normal((E,)), dtype),
+        jnp.asarray(r.standard_normal((N, N)), dtype),
+        jnp.asarray(r.standard_normal((B, N, D)), dtype),
+    )
+
+
+def _time(fn, args, iters, np_fetch=True):
+    out = fn(*args)
+    np.asarray(out)  # compile + completion barrier (remote-attach safe)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    np.asarray(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_tpu_table(cases, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from mtad_gat_tpu.graph.ops import gat_aggregate_dense, gatv2_scores_dense
+    from mtad_gat_tpu.kernels.gat_pallas import gatv2_attention_fused
+
+    E, D = 256, 128
+    rows = []
+    for B, N in cases:
+        args = _inputs(B, N, E, D, jnp.bfloat16, jnp)
+        edges = B * N * N
+
+        dense = jax.jit(
+            lambda p, q, a, bias, v: gat_aggregate_dense(
+                gatv2_scores_dense(p, q, a, 0.2), v, bias
+            )
+        )
+        fused = jax.jit(lambda p, q, a, bias, v: gatv2_attention_fused(
+            p, q, a, bias, v, 0.2))
+
+        for path, fn in (("dense", dense), ("pallas", fused)):
+            dt = _time(fn, args, iters)
+            rows.append({
+                "metric": "gat_attention_edges_per_sec",
+                "path": path, "n_nodes": N, "batch": B,
+                "value": round(edges / dt / 1e9, 3), "unit": "Gedges/s",
+                "dtype": "bfloat16",
+            })
+            print(json.dumps(rows[-1]))
+    return rows
+
+
+def bench_ring_cpu(iters=3):
+    """Ring attention on the virtual 8-device CPU farm: validates shapes and
+    collectives and reports per-device edges/s (CPU numbers are NOT TPU
+    throughput — this mode exists so the ring path's scaling harness runs
+    everywhere; on a real multi-chip slice the same code measures ICI)."""
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mtad_gat_tpu.parallel import make_mesh
+    from mtad_gat_tpu.parallel.ring_attention import ring_gatv2_attention
+
+    E, D = 64, 64
+    rows = []
+    for shards in (2, 4, 8):
+        mesh = make_mesh(shards, model_parallel=shards)
+        B, N = 2, 512
+        p, q, a, bias, v = _inputs(B, N, E, D, jnp.float32, jnp)
+        fn = jax.jit(
+            lambda p, q, a, bias, v: ring_gatv2_attention(
+                p, q, a, bias, v, 0.2, mesh
+            )
+        )
+        dt = _time(fn, (p, q, a, bias, v), iters)
+        edges = B * N * N
+        rows.append({
+            "metric": "ring_attention_edges_per_sec_per_device",
+            "path": "ring", "n_nodes": N, "batch": B, "shards": shards,
+            "value": round(edges / dt / shards / 1e6, 3),
+            "unit": "Medges/s/device", "dtype": "float32",
+            "note": "CPU farm validation numbers, not TPU throughput",
+        })
+        print(json.dumps(rows[-1]))
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ring", action="store_true",
+                    help="run the ring path on the 8-device CPU farm")
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    if args.ring:
+        bench_ring_cpu()
+        return
+
+    cases = [(8, 128), (8, 512), (4, 2048), (1, 8192)]
+    bench_tpu_table(cases, iters=args.iters)
+
+
+if __name__ == "__main__":
+    main()
