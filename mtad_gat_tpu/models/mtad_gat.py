@@ -75,6 +75,7 @@ class MTADGAT(nn.Module):
         _, h_end = GRU(
             in_dim=3 * c.n_features, hid_dim=c.gru_hid_dim,
             n_layers=c.gru_n_layers, dropout=c.dropout, compute_dtype=cd,
+            collect_outputs=False,  # only h_end is consumed (mtad_gat.py:73-74)
             name="gru",
         )(h_cat, deterministic=deterministic)
 

@@ -47,7 +47,14 @@ class GRU(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     # lax.scan unroll factor: amortizes per-step loop overhead on TPU by
     # emitting `unroll` timesteps per loop iteration (math unchanged).
+    # Measured on v5e (docs/PERFORMANCE.md): 4 is the fwd+bwd sweet spot
+    # (1 leaves loop overhead on the table; >8 slows the backward).
     unroll: int = 4
+    # Whether the caller needs the full (b, n, hid) sequence output. The
+    # encoder use (mtad_gat.py) consumes only last_hidden — the reference's
+    # ``out[-1]`` indexing bug makes its sequence output dead (modules.py:237)
+    # — so skipping the stacked ys saves an (n, b, hid) HBM write per layer.
+    collect_outputs: bool = True
 
     @nn.compact
     def __call__(
@@ -63,6 +70,9 @@ class GRU(nn.Module):
 
         for layer in range(self.n_layers):
             in_dim = self.in_dim if layer == 0 else self.hid_dim
+            # intermediate layers always need the full sequence; only the
+            # last layer's ys can be elided
+            collect = self.collect_outputs or layer < self.n_layers - 1
             # packed gate order (r, z, n); stored (in, 3h) for right-matmul
             w_ih = self.param(f"w_ih_l{layer}", init, (in_dim, 3 * self.hid_dim))
             w_hh = self.param(f"w_hh_l{layer}", init, (self.hid_dim, 3 * self.hid_dim))
@@ -73,7 +83,7 @@ class GRU(nn.Module):
             gi = h @ w_ih.astype(cd) + b_ih.astype(cd)          # (b, n, 3h)
             gi = jnp.swapaxes(gi, 0, 1)                          # (n, b, 3h)
 
-            def step(carry, gi_t, w_hh=w_hh, b_hh=b_hh):
+            def step(carry, gi_t, w_hh=w_hh, b_hh=b_hh, collect=collect):
                 gh = carry @ w_hh.astype(cd) + b_hh.astype(cd)   # (b, 3h)
                 i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
                 h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
@@ -81,13 +91,19 @@ class GRU(nn.Module):
                 z = jax.nn.sigmoid(i_z + h_z)
                 n = jnp.tanh(i_n + r * h_n)
                 new = (1.0 - z) * n + z * carry
-                return new, new
+                return new, new if collect else None
 
             h0 = jnp.zeros((h.shape[0], self.hid_dim), cd)
             last_hidden, outs = jax.lax.scan(step, h0, gi, unroll=self.unroll)
-            h = jnp.swapaxes(outs, 0, 1)                         # (b, n, h)
+            if collect:
+                h = jnp.swapaxes(outs, 0, 1)                     # (b, n, h)
+            else:
+                h = None
 
-            if eff_dropout > 0.0 and not deterministic and layer < self.n_layers - 1:
+            if (
+                collect and eff_dropout > 0.0 and not deterministic
+                and layer < self.n_layers - 1
+            ):
                 rng = self.make_rng("dropout")
                 keep = jax.random.bernoulli(rng, 1.0 - eff_dropout, h.shape)
                 h = jnp.where(keep, h / (1.0 - eff_dropout), 0.0)

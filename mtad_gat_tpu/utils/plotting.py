@@ -247,22 +247,11 @@ class Plotter:
             shapes.append(shape)
         return shapes
 
-    def plotly_global_predictions(self, plot_train: bool = False,
-                                  save_path: Optional[str] = None) -> None:
-        """Interactive global-score plot (reference ``plotting.py:460-493``).
-        Renders with plotly when it is installed; otherwise falls back to the
-        matplotlib version so the call always produces a figure."""
-        try:
-            import plotly.graph_objects as go
-        except ImportError:
-            print("plotly not installed; falling back to matplotlib")
-            if save_path and save_path.endswith(".html"):
-                # matplotlib's savefig rejects the html format
-                save_path = save_path[: -len(".html")] + ".png"
-            return self.plot_global_predictions(
-                plot_train=plot_train, save_path=save_path
-            )
-
+    def plotly_global_figure(self, plot_train: bool = False) -> dict:
+        """The interactive global-score figure as a plain plotly figure spec
+        (data + layout dicts) — the same JSON plotly itself would serialize
+        (reference ``plotting.py:460-493``), built without needing the plotly
+        library."""
         df = self.train_output if plot_train else self.test_output
         score = df["A_Score_Global"].values
         shapes = []
@@ -276,15 +265,60 @@ class Plotter:
             shapes += self.create_shapes(
                 pred_ranges, "predicted", 0.0, float(np.max(score)), None
             )
-        fig = go.Figure(
-            data=[go.Scatter(y=score, name="global score", line=dict(width=1))],
-            layout=go.Layout(shapes=shapes, title="Global anomaly score"),
-        )
+        data = [{
+            "type": "scatter", "y": [float(v) for v in score],
+            "name": "global score", "line": {"width": 1},
+        }]
         if "Thresh_Global" in df.columns:
-            fig.add_trace(go.Scatter(
-                y=df["Thresh_Global"].values, name="threshold",
-                line=dict(width=1, dash="dash", color="red"),
-            ))
+            data.append({
+                "type": "scatter",
+                "y": [float(v) for v in df["Thresh_Global"].values],
+                "name": "threshold",
+                "line": {"width": 1, "dash": "dash", "color": "red"},
+            })
+        return {
+            "data": data,
+            "layout": {"shapes": shapes, "title": {"text": "Global anomaly score"}},
+        }
+
+    @staticmethod
+    def write_plotly_html(fig: dict, path: str) -> None:
+        """Standalone interactive HTML from a figure spec: embeds the figure
+        JSON and loads plotly.js from the CDN, so no python plotly install is
+        needed to produce (or view) it."""
+        import json as _json
+
+        html = (
+            "<!DOCTYPE html><html><head><meta charset=\"utf-8\">"
+            "<script src=\"https://cdn.plot.ly/plotly-2.35.2.min.js\"></script>"
+            "</head><body><div id=\"fig\" style=\"height:95vh\"></div>"
+            "<script>var spec = "
+            + _json.dumps(fig)
+            + ";Plotly.newPlot('fig', spec.data, spec.layout);</script>"
+            "</body></html>"
+        )
+        with open(path, "w") as f:
+            f.write(html)
+
+    def plotly_global_predictions(self, plot_train: bool = False,
+                                  save_path: Optional[str] = None) -> None:
+        """Interactive global-score plot (reference ``plotting.py:460-493``).
+        Renders with plotly when it is installed; without it, an .html
+        save_path still gets a real interactive figure (CDN-embedded spec),
+        and only the no-save interactive display falls back to matplotlib."""
+        fig_dict = self.plotly_global_figure(plot_train=plot_train)
+        try:
+            import plotly.graph_objects as go
+        except ImportError:
+            if save_path and save_path.endswith(".html"):
+                self.write_plotly_html(fig_dict, save_path)
+                return
+            print("plotly not installed; falling back to matplotlib display")
+            return self.plot_global_predictions(
+                plot_train=plot_train, save_path=save_path
+            )
+
+        fig = go.Figure(fig_dict)
         if save_path:
             fig.write_html(save_path)
         else:

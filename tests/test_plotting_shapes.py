@@ -100,3 +100,40 @@ def test_plotly_global_predictions_falls_back_without_plotly(tmp_path, capsys):
     plotter.plotly_global_predictions(save_path=str(out))
     assert out.exists() and out.stat().st_size > 0
     assert "falling back to matplotlib" in capsys.readouterr().out
+
+
+def test_plotly_html_emitted_without_plotly(tmp_path):
+    """An .html save_path gets a REAL interactive figure (embedded plotly
+    spec + CDN script) even when the plotly library is absent."""
+    import json
+
+    for name in list(sys.modules):
+        if name == "plotly" or name.startswith("plotly."):
+            del sys.modules[name]
+    plotter = Plotter(_fake_run(tmp_path), model_id="-1")
+    out = tmp_path / "global.html"
+    plotter.plotly_global_predictions(save_path=str(out))
+    html = out.read_text()
+    assert "cdn.plot.ly" in html and "Plotly.newPlot" in html
+    # figure spec is valid JSON with the score + threshold traces and shapes
+    spec = json.loads(html.split("var spec = ", 1)[1].split(";Plotly", 1)[0])
+    names = [t["name"] for t in spec["data"]]
+    assert names == ["global score", "threshold"]
+    assert len(spec["layout"]["shapes"]) > 0
+    assert len(spec["data"][0]["y"]) == 50
+
+
+def test_plotly_figure_dict_shapes():
+    """plotly_global_figure emits true-anomaly shapes only for test frames
+    and skips threshold when absent."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        import pathlib
+
+        root = _fake_run(pathlib.Path(td))
+        plotter = Plotter(root, model_id="-1")
+        test_fig = plotter.plotly_global_figure(plot_train=False)
+        train_fig = plotter.plotly_global_figure(plot_train=True)
+        # train frame has no A_True_Global -> fewer shapes than test
+        assert len(train_fig["layout"]["shapes"]) <= len(test_fig["layout"]["shapes"])
