@@ -40,14 +40,30 @@ def _inputs(B, N, E, D, dtype, jnp):
     )
 
 
-def _time(fn, args, iters, np_fetch=True):
-    out = fn(*args)
-    np.asarray(out)  # compile + completion barrier (remote-attach safe)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    np.asarray(out)
-    return (time.perf_counter() - t0) / iters
+def _time(fn, args, iters):
+    """Time ``iters`` applications inside ONE jitted scan: the remote-attach
+    dispatch costs ~1 ms per call, which would swamp small-N measurements.
+    A scalar carry multiplied into the first operand serializes iterations."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def reps(*xs):
+        def body(carry, _):
+            out = fn(xs[0] + carry.astype(xs[0].dtype), *xs[1:])
+            return jnp.sum(out, dtype=jnp.float32) * 0.0, None
+
+        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return s
+
+    np.asarray(reps(*args))  # compile + completion barrier (remote-safe)
+    best = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = reps(*args)
+        np.asarray(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
 
 
 def bench_tpu_table(cases, iters=20):

@@ -90,6 +90,15 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_processes", type=int, default=0)
     parser.add_argument("--process_id", type=int, default=-1)
 
+    # --- Production-training extensions ---
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="capture a jax.profiler trace of the first "
+                             "post-compile epoch into this directory")
+    parser.add_argument("--checkpoint_every", type=int, default=1,
+                        help="epochs between full-resume checkpoints when "
+                             "there is no val split (0 = end-of-run only, "
+                             "the reference behavior)")
+
     return parser
 
 

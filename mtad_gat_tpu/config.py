@@ -103,6 +103,13 @@ class TrainConfig:
     lr_schedule: str = "constant"   # "constant" | "cosine" | "warmup_cosine"
     lr_warmup_steps: int = 0
     lr_decay_steps: int = 10000
+    # capture a jax.profiler device trace of the first post-compile epoch
+    # into this directory (TensorBoard profile plugin / xprof format)
+    profile_dir: str = ""
+    # write the full-resume train_state checkpoint every N epochs even
+    # without a validation split (failure recovery; the reference can only
+    # reload weights for inference, SURVEY.md §5). 0 = reference behavior.
+    checkpoint_every: int = 1
 
 
 @dataclass
@@ -174,6 +181,10 @@ class RunConfig:
     num_processes: int = 0
     process_id: int = -1
 
+    # --- Production-training extensions ---
+    profile_dir: str = ""
+    checkpoint_every: int = 1
+
     # ------------------------------------------------------------------
     def model_config(self, n_features: int, out_dim: int) -> MTADGATConfig:
         return MTADGATConfig(
@@ -207,6 +218,8 @@ class RunConfig:
             print_every=self.print_every,
             log_tensorboard=self.log_tensorboard,
             seed=self.seed,
+            profile_dir=self.profile_dir,
+            checkpoint_every=self.checkpoint_every,
         )
 
     def predict_config(self) -> PredictConfig:

@@ -277,7 +277,17 @@ class Trainer:
             epoch_start = time.time()
             order = host_rng.permutation(train_idx) if cfg.shuffle_dataset else train_idx
             starts, mask, _ = batched_starts(0, cfg.bs, indices=order)
-            self.state, (fs, rs) = self._epoch_train(self.state, series, starts, mask)
+            if cfg.profile_dir and epoch == 1:
+                # epoch 0 includes compilation; trace the first steady epoch
+                from mtad_gat_tpu.utils.profiling import trace
+
+                with trace(cfg.profile_dir):
+                    self.state, (fs, rs) = self._epoch_train(
+                        self.state, series, starts, mask
+                    )
+                    np.asarray(fs)  # force completion inside the trace
+            else:
+                self.state, (fs, rs) = self._epoch_train(self.state, series, starts, mask)
             f, r, total = self._aggregate(np.asarray(fs), np.asarray(rs))
 
             self.losses["train_forecast"].append(f)
@@ -296,6 +306,15 @@ class Trainer:
                 # training.py:152-153 is vacuously true) -> save latest
                 if self.save_path:
                     self.save("model.msgpack")
+            elif (
+                self.save_path
+                and cfg.checkpoint_every
+                and (epoch + 1) % cfg.checkpoint_every == 0
+            ):
+                # no val split: still write the full-resume train_state
+                # periodically so a killed run can resume (reference loses
+                # everything until its single end-of-training save)
+                self.save("model.msgpack")
 
             self.logger.log(epoch, scalars)
             epoch_time = time.time() - epoch_start

@@ -114,3 +114,51 @@ def test_learning_detects_synthetic_anomalies(tmp_path):
     )
     summary = predictor.predict_anomalies(train, test, labels[16:], save_output=False)
     assert summary["bf_result"]["f1"] > 0.8, summary["bf_result"]
+
+
+def test_periodic_checkpoint_without_val_and_resume(tmp_path):
+    """checkpoint_every writes the full-resume train_state every N epochs
+    even with val_split=0 (the reference only saves once at the end), and a
+    fresh trainer resumes from it at the saved step."""
+    mc, tc = _cfgs(checkpoint_every=1)
+    series = synthetic_series(n_train=120, n_test=60, n_features=5, seed=0)[0]
+
+    save = tmp_path / "run"
+    tr = Trainer(mc, tc, save_path=str(save), log_dir=str(tmp_path / "logs"))
+    tr.fit(series)
+    assert (save / "train_state.msgpack").exists()
+    assert (save / "model.msgpack").exists()
+
+    tr2 = Trainer(mc, tc, save_path="", log_dir=str(tmp_path / "logs2"))
+    tr2.load_full(str(save / "train_state.msgpack"))
+    assert int(tr2.state.step) > 0
+    # resumed state trains onward without error
+    tr2.fit(series)
+
+
+def test_checkpoint_every_zero_is_reference_behavior(tmp_path):
+    """checkpoint_every=0 + no val split -> nothing on disk until the final
+    end-of-training save (reference training.py:179-180 semantics)."""
+    mc, tc = _cfgs(checkpoint_every=0)
+    import dataclasses
+    tc = dataclasses.replace(tc, epochs=1)
+    series = synthetic_series(n_train=120, n_test=60, n_features=5, seed=0)[0]
+    save = tmp_path / "run"
+    tr = Trainer(mc, tc, save_path=str(save), log_dir=str(tmp_path / "logs"))
+    tr.fit(series)
+    assert (save / "model.msgpack").exists()  # the single end-of-run save
+
+
+def test_profile_dir_captures_trace(tmp_path):
+    """profile_dir captures a jax.profiler trace of epoch 1."""
+    import os
+
+    prof = tmp_path / "prof"
+    mc, tc = _cfgs(profile_dir=str(prof))
+    series = synthetic_series(n_train=120, n_test=60, n_features=5, seed=0)[0]
+    tr = Trainer(mc, tc, save_path="", log_dir=str(tmp_path / "logs"))
+    tr.fit(series)
+    files = [
+        os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs
+    ]
+    assert files, "no trace artifacts written"
