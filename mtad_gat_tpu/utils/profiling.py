@@ -5,6 +5,11 @@ this adds proper device traces).
 TensorBoard's profile plugin or xprof. ``timed`` is a lightweight wall-clock
 section timer that also forces device completion via a host fetch (plain
 ``block_until_ready`` is not a reliable barrier over remote-attached TPUs).
+
+Caveat: device-trace collection requires a locally attached backend; over a
+remote-attach tunnel (the ``axon`` platform) ``stop_trace`` can block waiting
+for device trace data that never arrives. Prefer wall-clock knockouts
+(docs/PERFORMANCE.md methodology) on remote attaches.
 """
 
 from __future__ import annotations

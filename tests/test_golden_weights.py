@@ -230,6 +230,62 @@ def test_trainer_load_torch_roundtrip():
         tr_bad.load_torch(os.path.join(run_dir, "model.pt"))
 
 
+def test_predict_cli_torch_ckpt_end_to_end(tmp_path, monkeypatch):
+    """predict.py --torch_ckpt drives the whole pipeline from a torch
+    state_dict: train a tiny run for the run-dir/config, then predict with a
+    reference-architecture torch checkpoint instead of the msgpack."""
+    import pickle
+    import sys
+
+    import torch
+
+    from mtad_gat_tpu.cli import predict_cli
+    from mtad_gat_tpu.cli.train_cli import run_training
+    from mtad_gat_tpu.config import RunConfig
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "ServerMachineDataset" / "processed"
+    d.mkdir(parents=True)
+    series = rng.standard_normal((200, 38)).astype(np.float32)
+    label = np.zeros(80, np.float32)
+    label[30:40] = 1
+    for name, arr in [
+        ("machine-1-1_train", series),
+        ("machine-1-1_test", series[:80]),
+        ("machine-1-1_test_label", label),
+    ]:
+        with open(d / f"{name}.pkl", "wb") as f:
+            pickle.dump(arr, f)
+
+    cfg = RunConfig(
+        dataset="SMD", group="1-1", lookback=16, epochs=1, bs=8,
+        val_split=0.0, log_tensorboard=False, gru_hid_dim=16,
+        fc_n_layers=1, fc_hid_dim=16, recon_n_layers=1, recon_hid_dim=16,
+        dropout=0.0, data_root=str(tmp_path), output_root=str(tmp_path / "out"),
+    )
+    run_dir = run_training(cfg, run_id="ckptrun")
+
+    tm = ref_model().MTAD_GAT(
+        38, 16, 38, kernel_size=7, use_gatv2=True, gru_n_layers=1,
+        gru_hid_dim=16, forecast_n_layers=1, forecast_hid_dim=16,
+        recon_n_layers=1, recon_hid_dim=16, dropout=0.0, alpha=0.2,
+    )
+    ckpt = tmp_path / "ref_model.pt"
+    torch.save(tm.state_dict(), ckpt)
+
+    monkeypatch.setattr(sys, "argv", [
+        "predict.py", "--dataset", "SMD", "--group", "1-1",
+        "--model_id", "ckptrun", "--torch_ckpt", str(ckpt),
+        "--data_root", str(tmp_path), "--output_root", str(tmp_path / "out"),
+    ])
+    predict_cli.main()
+    # numbered summary written next to the training one, from torch weights
+    assert os.path.exists(os.path.join(run_dir, "summary_1.txt"))
+    with open(os.path.join(run_dir, "summary_1.txt")) as f:
+        summary = json.load(f)
+    assert np.isfinite(summary["bf_result"]["f1"])
+
+
 @pytest.fixture(scope="module")
 def msl_golden():
     import pandas as pd
