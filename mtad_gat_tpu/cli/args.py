@@ -98,6 +98,12 @@ def get_parser() -> argparse.ArgumentParser:
                         help="epochs between full-resume checkpoints when "
                              "there is no val split (0 = end-of-run only, "
                              "the reference behavior)")
+    parser.add_argument("--run_id", type=str, default="",
+                        help="pin the run directory name (default: datetime)")
+    parser.add_argument("--auto_resume", type=str2bool, default=False,
+                        help="resume from run_id's train_state.msgpack when "
+                             "present (preemption recovery; replays the "
+                             "exact remaining epoch schedule)")
 
     return parser
 

@@ -94,9 +94,15 @@ def run_training(
         log_dir=log_dir, args_summary=args_summary, mesh=mesh,
     )
     trainer.init_state()
+    auto_ckpt = os.path.join(save_path, "train_state.msgpack")
     if resume_from:
         trainer.load_full(resume_from)
         print(f"Resumed full train state from {resume_from} (step {int(trainer.state.step)})")
+    elif cfg.auto_resume and os.path.exists(auto_ckpt):
+        # preemption recovery: re-running with the same --run_id picks up
+        # the periodic checkpoint and replays the exact remaining epochs
+        trainer.load_full(auto_ckpt)
+        print(f"Auto-resumed from {auto_ckpt} (step {int(trainer.state.step)})")
     elif init_from_torch:
         trainer.load_torch(init_from_torch)
         print(f"Warm-started from PyTorch checkpoint {init_from_torch}")
@@ -145,6 +151,7 @@ def main() -> None:
     cfg = to_run_config(args)
     run_training(
         cfg,
+        run_id=cfg.run_id or None,
         resume_from=args.resume_from or None,
         init_from_torch=args.init_from_torch or None,
     )

@@ -184,6 +184,8 @@ class RunConfig:
     # --- Production-training extensions ---
     profile_dir: str = ""
     checkpoint_every: int = 1
+    run_id: str = ""                # pin the run directory name ("" = datetime)
+    auto_resume: bool = False       # resume from run_id's checkpoint if present
 
     # ------------------------------------------------------------------
     def model_config(self, n_features: int, out_dim: int) -> MTADGATConfig:

@@ -271,11 +271,23 @@ class Trainer:
             init_val = self._eval_indices(series, np.sort(val_idx))
             print(f"Init total val loss: {init_val[2]:.5f}")
 
+        # Resume accounting: a restored train_state carries the global step;
+        # completed epochs are skipped while still drawing the per-epoch
+        # shuffle from host_rng, so a resumed run replays the EXACT remaining
+        # schedule (bit-identical to the uninterrupted run — tested).
+        n_batches = max(1, -(-len(train_idx) // cfg.bs))
+        start_epoch = min(cfg.epochs, int(self.state.step) // n_batches)
+        if start_epoch:
+            print(f"Resuming at epoch {start_epoch + 1}/{cfg.epochs} "
+                  f"(step {int(self.state.step)})")
+
         print(f"Training model for {cfg.epochs} epochs..")
         train_start = time.time()
         for epoch in range(cfg.epochs):
             epoch_start = time.time()
             order = host_rng.permutation(train_idx) if cfg.shuffle_dataset else train_idx
+            if epoch < start_epoch:
+                continue  # already trained before the restart; rng stream advanced
             starts, mask, _ = batched_starts(0, cfg.bs, indices=order)
             if cfg.profile_dir and epoch == 1:
                 # epoch 0 includes compilation; trace the first steady epoch
