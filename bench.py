@@ -91,8 +91,10 @@ def _bench_tpu_dtype(dtype: str, epochs: int, batches_per_epoch: int, bs: int) -
     return epochs * n_windows / dt
 
 
-def bench_torch_cpu(steps: int = 1, bs: int = 64) -> float:
-    """Reference implementation, CPU, same shapes. Returns windows/sec."""
+def bench_torch_cpu(steps: int = 6, bs: int = 64) -> float:
+    """Reference implementation, CPU, same shapes: 1 warmup step then the
+    MEDIAN of ``steps`` timed steps — the procedure behind
+    docs/ref_baseline.json. Returns windows/sec."""
     sys.path.insert(0, "/root/reference")
     import torch
 
@@ -118,11 +120,12 @@ def bench_torch_cpu(steps: int = 1, bs: int = 64) -> float:
         opt.step()
 
     step()  # warmup
-    t0 = time.perf_counter()
+    samples = []
     for _ in range(steps):
+        t0 = time.perf_counter()
         step()
-    dt = time.perf_counter() - t0
-    return steps * bs / dt
+        samples.append(bs / (time.perf_counter() - t0))
+    return sorted(samples)[len(samples) // 2]
 
 
 # Reference throughput measured on this host (2026-08-20): reference torch

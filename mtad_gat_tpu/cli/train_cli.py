@@ -34,7 +34,13 @@ def run_training(
     restores a full train-state checkpoint (params + optimizer state + step)
     before continuing — true resume, which the reference lacks (SURVEY.md §5).
     ``init_from_torch`` warm-starts from a reference PyTorch ``model.pt``."""
-    run_id = run_id or datetime.now().strftime("%d%m%Y_%H%M%S")
+    if cfg.auto_resume and not (run_id or cfg.run_id):
+        raise ValueError(
+            "--auto_resume needs --run_id: without a pinned run directory a "
+            "fresh datetime id is generated and there is no checkpoint to "
+            "find, silently restarting from scratch"
+        )
+    run_id = run_id or cfg.run_id or datetime.now().strftime("%d%m%Y_%H%M%S")
     dataset = cfg.dataset
     window_size = cfg.lookback
 

@@ -63,14 +63,23 @@ def gat_aggregate_dense(
     bias: Optional[jax.Array],  # (N, N) or None
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    keep_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """softmax over keys -> (optional dropout) -> weighted sum -> sigmoid."""
+    """softmax over keys -> (optional dropout) -> weighted sum -> sigmoid.
+
+    Dropout takes either a PRNG key (``dropout_rng``, threefry mask) or a
+    precomputed ``keep_mask`` (b, N, N) — the latter is how the Pallas
+    kernel's hash-derived mask is replayed on the dense path so both compute
+    bit-matching semantics (kernels/gat_pallas.py)."""
     if bias is not None:
         scores = scores + bias
     att = jax.nn.softmax(scores, axis=2)
-    if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, att.shape)
-        att = jnp.where(keep, att / (1.0 - dropout_rate), 0.0)
+    if keep_mask is None and dropout_rate > 0.0 and dropout_rng is not None:
+        keep_mask = jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_rate, att.shape
+        )
+    if keep_mask is not None and dropout_rate > 0.0:
+        att = jnp.where(keep_mask, att / (1.0 - dropout_rate), 0.0)
     h = jnp.einsum(
         "bij,bjd->bid", att, values, preferred_element_type=jnp.float32
     ).astype(values.dtype)

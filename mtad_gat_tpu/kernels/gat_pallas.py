@@ -108,6 +108,13 @@ def _hash_u32(seed, b, rows, cols):
     return x
 
 
+def _keep_threshold(rate: float) -> int:
+    """uint32 comparison threshold for P(keep) = 1 - rate, clamped so tiny
+    rates cannot round to 2^32 (which overflows uint32 and would drop
+    EVERYTHING under wraparound)."""
+    return min(int(round((1.0 - rate) * 4294967296.0)), 4294967295)
+
+
 def _keep_mask(seed, b, row0, col0, bi, bj, rate: float):
     """(bi, bj) boolean keep mask for the tile whose top-left global
     coordinate is (row0, col0). P(keep) = 1 - rate."""
@@ -120,7 +127,7 @@ def _keep_mask(seed, b, row0, col0, bi, bj, rate: float):
         + jnp.uint32(col0)
     )
     bits = _hash_u32(seed, b, rows, cols)
-    return bits < jnp.uint32(int(round((1.0 - rate) * 4294967296.0)))
+    return bits < jnp.uint32(_keep_threshold(rate))
 
 
 def hash_keep_mask(seed, batch: int, n_rows: int, n_cols: int, rate: float):
@@ -132,7 +139,7 @@ def hash_keep_mask(seed, batch: int, n_rows: int, n_cols: int, rate: float):
     cols = jnp.broadcast_to(
         jnp.arange(n_cols, dtype=jnp.uint32)[None, :], (n_rows, n_cols)
     )
-    thresh = jnp.uint32(int(round((1.0 - rate) * 4294967296.0)))
+    thresh = jnp.uint32(_keep_threshold(rate))
 
     def one(b):
         return _hash_u32(seed, b, rows, cols) < thresh
@@ -737,17 +744,9 @@ def _fused_backward(p, q, a, bias, v, u, m, l, g, alpha, interpret,
 
 def _dense_reference(p, q, a, bias, v, alpha, keep=None, dropout_rate=0.0):
     scores = gatv2_scores_dense(p, q, a, alpha)
-    if keep is None:
-        return gat_aggregate_dense(scores, v, bias)
-    # dropout with the kernel's hash mask: masked post-softmax, unnormalized
-    if bias is not None:
-        scores = scores + bias
-    att = jax.nn.softmax(scores, axis=2)
-    att = jnp.where(keep, att / (1.0 - dropout_rate), 0.0)
-    h = jnp.einsum(
-        "bij,bjd->bid", att, v, preferred_element_type=jnp.float32
-    ).astype(v.dtype)
-    return jax.nn.sigmoid(h)
+    return gat_aggregate_dense(
+        scores, v, bias, dropout_rate=dropout_rate, keep_mask=keep
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))

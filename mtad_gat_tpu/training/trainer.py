@@ -265,21 +265,29 @@ class Trainer:
         else:
             train_idx, val_idx = indices, None
 
-        init_train = self._eval_indices(series, np.sort(train_idx))
-        print(f"Init total train loss: {init_train[2]:5f}")
-        if val_idx is not None and len(val_idx):
-            init_val = self._eval_indices(series, np.sort(val_idx))
-            print(f"Init total val loss: {init_val[2]:.5f}")
-
-        # Resume accounting: a restored train_state carries the global step;
-        # completed epochs are skipped while still drawing the per-epoch
-        # shuffle from host_rng, so a resumed run replays the EXACT remaining
-        # schedule (bit-identical to the uninterrupted run — tested).
+        # Resume accounting first: restarts skip the init evals too (they are
+        # diagnostics and do not consume host_rng, so exactness is unaffected)
         n_batches = max(1, -(-len(train_idx) // cfg.bs))
         start_epoch = min(cfg.epochs, int(self.state.step) // n_batches)
+
+        if start_epoch == 0:
+            init_train = self._eval_indices(series, np.sort(train_idx))
+            print(f"Init total train loss: {init_train[2]:5f}")
+            if val_idx is not None and len(val_idx):
+                init_val = self._eval_indices(series, np.sort(val_idx))
+                print(f"Init total val loss: {init_val[2]:.5f}")
+
+        # A restored train_state carries the global step; completed epochs
+        # are skipped while still drawing the per-epoch shuffle from
+        # host_rng, so a resumed run replays the EXACT remaining schedule
+        # (bit-identical to the uninterrupted run — tested).
         if start_epoch:
             print(f"Resuming at epoch {start_epoch + 1}/{cfg.epochs} "
                   f"(step {int(self.state.step)})")
+        # profile the first steady (post-compile) epoch that will actually
+        # execute; with a single epoch there is no post-compile one, so take
+        # what exists rather than silently capturing nothing
+        profile_epoch = min(start_epoch + 1, cfg.epochs - 1)
 
         print(f"Training model for {cfg.epochs} epochs..")
         train_start = time.time()
@@ -289,8 +297,7 @@ class Trainer:
             if epoch < start_epoch:
                 continue  # already trained before the restart; rng stream advanced
             starts, mask, _ = batched_starts(0, cfg.bs, indices=order)
-            if cfg.profile_dir and epoch == 1:
-                # epoch 0 includes compilation; trace the first steady epoch
+            if cfg.profile_dir and epoch == profile_epoch:
                 from mtad_gat_tpu.utils.profiling import trace
 
                 with trace(cfg.profile_dir):

@@ -150,7 +150,13 @@ def load_torch_checkpoint(path: str) -> Dict[str, dict]:
     """Read a reference ``model.pt`` and return our flax params tree."""
     import torch  # local import: torch is only needed to deserialize
 
-    sd = torch.load(path, map_location="cpu")
+    try:
+        sd = torch.load(path, map_location="cpu")
+    except Exception:
+        # torch >= 2.6 defaults weights_only=True, which rejects checkpoints
+        # saved as full modules (torch.save(model)); this is a migration
+        # tool, so fall back to a full unpickle for those
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):  # a full module was saved, not a state_dict
         sd = sd.state_dict()
     return torch_state_dict_to_params(sd)
