@@ -16,7 +16,10 @@ reference implementation (ML4ITS/mtad-gat-pytorch):
 - anomaly scoring and three thresholding methods: epsilon (Hundman),
   streaming peaks-over-threshold (SPOT), brute-force F1 search, evaluated
   under the point-adjust protocol (``mtad_gat_tpu.inference``)
-- multi-chip scaling via jax.sharding meshes (``mtad_gat_tpu.parallel``)
+- multi-chip scaling via jax.sharding meshes, explicit ring attention over
+  ICI, and a multi-host runtime (``mtad_gat_tpu.parallel``)
+- migration from the reference: trained torch ``model.pt`` checkpoints
+  import directly (``mtad_gat_tpu.utils.torch_import``)
 """
 
 from mtad_gat_tpu.version import __version__
