@@ -204,6 +204,48 @@ def test_get_score_cross_implementation_msl(rng):
         )
 
 
+def test_get_score_cross_implementation_smd(rng):
+    """Same cross-implementation check at SMD's trained weights — out_dim=38
+    (all features forecast/reconstructed), exercising the full multi-feature
+    column structure of the DataFrame."""
+    import torch
+
+    run_dir, n_features, out_dim = RUNS["SMD"]
+    cfg = _run_config(run_dir)
+    sd = torch.load(os.path.join(run_dir, "model.pt"), map_location="cpu")
+    w = cfg["lookback"]
+    series = rng.uniform(0.0, 1.0, size=(w + 21, n_features)).astype(np.float32)
+
+    import prediction as ref_prediction
+
+    pred_args = {
+        "dataset": "SMD", "target_dims": None, "scale_scores": False,
+        "q": 1e-3, "level": 0.995, "dynamic_pot": False, "use_mov_av": False,
+        "gamma": 1.0, "reg_level": 1, "save_path": "/tmp/unused",
+    }
+    tm = _build_torch(cfg, n_features, out_dim, sd)
+    ref_pred = ref_prediction.Predictor(tm, w, n_features, dict(pred_args))
+    ref_pred.use_cuda = False
+    ref_df = ref_pred.get_score(torch.from_numpy(series))
+
+    from mtad_gat_tpu.inference.predictor import Predictor
+
+    our_pred = Predictor(
+        _build_ours(cfg, n_features, out_dim),
+        torch_state_dict_to_params(sd), w, n_features,
+        {**pred_args, "save_path": "/tmp/unused2"},
+    )
+    our_df = our_pred.get_score(series)
+
+    assert list(our_df.columns) == list(ref_df.columns)
+    assert sum(c.startswith("A_Score_") for c in our_df.columns) == out_dim + 1
+    for col in ref_df.columns:
+        np.testing.assert_allclose(
+            our_df[col].values, ref_df[col].values, rtol=1e-4, atol=2e-5,
+            err_msg=f"column {col}",
+        )
+
+
 def test_trainer_load_torch_roundtrip():
     """Trainer.load_torch imports a committed checkpoint and rejects an
     architecture mismatch loudly."""
