@@ -32,7 +32,9 @@ import numpy as np
 
 __all__ = [
     "torch_state_dict_to_params",
+    "params_to_torch_state_dict",
     "load_torch_checkpoint",
+    "save_torch_checkpoint",
     "infer_model_dims",
 ]
 
@@ -144,6 +146,55 @@ def infer_model_dims(sd: Mapping[str, np.ndarray]) -> Dict[str, int]:
         "fc_n_layers": fc_linears - 1,  # reference counts hidden transforms
         "out_dim": out_dim,
     }
+
+
+def params_to_torch_state_dict(params: Mapping[str, dict]) -> Dict[str, np.ndarray]:
+    """The inverse mapping: our flax ``params`` tree -> a reference-layout
+    torch ``state_dict`` (as numpy arrays), so models trained HERE can be
+    loaded back into the reference implementation. Exact round-trip with
+    :func:`torch_state_dict_to_params` (tested)."""
+    p = params
+    sd: Dict[str, np.ndarray] = {
+        "conv.conv.weight": np.asarray(p["conv"]["kernel"]).transpose(2, 1, 0),
+        "conv.conv.bias": np.asarray(p["conv"]["bias"]),
+    }
+    for name in ("feature_gat", "temporal_gat"):
+        core = p[name]["core"]
+        sd[f"{name}.lin.weight"] = np.asarray(core["lin_kernel"]).T
+        sd[f"{name}.lin.bias"] = np.asarray(core["lin_bias"])
+        sd[f"{name}.a"] = np.asarray(core["a"])
+        if "bias" in core:
+            sd[f"{name}.bias"] = np.asarray(core["bias"])
+
+    def _gru_out(tree: Mapping[str, np.ndarray], prefix: str) -> None:
+        for key, arr in tree.items():
+            kind, side, layer = key.split("_", 2)  # w/b, ih/hh, lN
+            torch_kind = "weight" if kind == "w" else "bias"
+            arr = np.asarray(arr)
+            sd[f"{prefix}.{torch_kind}_{side}_{layer}"] = (
+                arr.T if kind == "w" else arr
+            )
+
+    _gru_out(p["gru"], "gru.gru")
+    _gru_out(p["recon_model"]["decoder"], "recon_model.decoder.rnn")
+    for name, lin in p["forecasting_model"].items():
+        i = name.split("_")[1]
+        sd[f"forecasting_model.layers.{i}.weight"] = np.asarray(lin["kernel"]).T
+        sd[f"forecasting_model.layers.{i}.bias"] = np.asarray(lin["bias"])
+    sd["recon_model.fc.weight"] = np.asarray(p["recon_model"]["fc"]["kernel"]).T
+    sd["recon_model.fc.bias"] = np.asarray(p["recon_model"]["fc"]["bias"])
+    return sd
+
+
+def save_torch_checkpoint(params: Mapping[str, dict], path: str) -> None:
+    """Write our params as a reference-loadable torch ``model.pt``."""
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v, dtype=np.float32))
+        for k, v in params_to_torch_state_dict(params).items()
+    }
+    torch.save(sd, path)
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, dict]:

@@ -25,6 +25,7 @@ chain on real data. Together they close the loop the raw data's absence leaves.
 import json
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -244,6 +245,45 @@ def test_get_score_cross_implementation_smd(rng):
             our_df[col].values, ref_df[col].values, rtol=1e-4, atol=2e-5,
             err_msg=f"column {col}",
         )
+
+
+def test_export_roundtrip_and_reference_loads_our_weights(tmp_path, rng):
+    """Two-way migration: params -> torch state_dict is the exact inverse of
+    the import, and a model trained HERE loads into the reference torch
+    implementation with matching forward outputs."""
+    import torch
+
+    from mtad_gat_tpu.utils.torch_import import (
+        params_to_torch_state_dict,
+        save_torch_checkpoint,
+    )
+
+    run_dir, n_features, out_dim = RUNS["SMAP"]
+    cfg = _run_config(run_dir)
+    sd = torch.load(os.path.join(run_dir, "model.pt"), map_location="cpu")
+
+    # exact round-trip through our tree and back
+    params = torch_state_dict_to_params(sd)
+    sd_back = params_to_torch_state_dict(params)
+    assert set(sd_back) == set(sd.keys())
+    for k in sd:
+        np.testing.assert_array_equal(sd_back[k], sd[k].numpy())
+
+    # export a FRESH flax init and load it into the reference torch model
+    ours = _build_ours(cfg, n_features, out_dim)
+    x = rng.uniform(0, 1, (3, cfg["lookback"], n_features)).astype(np.float32)
+    fresh = ours.init(jax.random.PRNGKey(7), x, deterministic=True)["params"]
+    ckpt = tmp_path / "exported.pt"
+    save_torch_checkpoint(fresh, str(ckpt))
+
+    tm = _build_torch(cfg, n_features, out_dim, torch.load(str(ckpt)))
+    with torch.no_grad():
+        t_preds, t_recons = tm(torch.from_numpy(x))
+    j_preds, j_recons = ours.apply({"params": fresh}, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(j_preds), t_preds.numpy(),
+                               rtol=1e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_recons), t_recons.numpy(),
+                               rtol=1e-5, atol=2e-5)
 
 
 def test_trainer_load_torch_roundtrip():
