@@ -58,6 +58,7 @@ class Predictor:
         summary_file_name: str = "summary.txt",
         batch_size: int = 256,
         data_root: str = "datasets",
+        smoothing_base: int = 256,
     ):
         self.model = model
         self.params = params
@@ -76,6 +77,7 @@ class Predictor:
         self.batch_size = batch_size
         self.summary_file_name = summary_file_name
         self.data_root = data_root
+        self.smoothing_base = smoothing_base
 
         model_apply = model.apply
 
@@ -161,9 +163,11 @@ class Predictor:
         return frames
 
     def _smooth(self, scores: np.ndarray) -> np.ndarray:
-        """Optional EWM smoothing; span follows the reference's formula
-        int(256 * window * 0.05) via batch_size=256 (prediction.py:132-135)."""
-        span = int(self.batch_size * self.window_size * 0.05)
+        """Optional EWM smoothing. The span follows the reference's formula
+        int(256 * window * 0.05) where 256 is the reference Predictor's
+        HARDCODED batch size (prediction.py:31,133) — NOT this predictor's
+        scoring batch: smoothed scores must be invariant to --bs."""
+        span = int(self.smoothing_base * self.window_size * 0.05)
         return pd.Series(scores).ewm(span=span).mean().to_numpy()
 
     def _annotate_feature_thresholds(self, frames) -> None:

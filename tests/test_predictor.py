@@ -102,6 +102,29 @@ def test_predict_anomalies_outputs(model_and_params, tmp_path):
     )
 
 
+def test_smoothing_span_invariant_to_batch_size(model_and_params, tmp_path):
+    """Regression for the --bs fidelity bug: the reference Predictor hardcodes
+    batch_size=256 (prediction.py:31) and its EWM span is
+    int(256 * window * 0.05) (prediction.py:133) — a non-default scoring batch
+    must NOT change smoothed scores."""
+    import pandas as pd
+
+    model, params = model_and_params
+    rng = np.random.default_rng(7)
+    scores = rng.random(500).astype(np.float64)
+
+    p128 = Predictor(model, params, W, K, _pred_args(tmp_path), batch_size=128)
+    p256 = Predictor(model, params, W, K, _pred_args(tmp_path), batch_size=256)
+    s128 = p128._smooth(scores)
+    s256 = p256._smooth(scores)
+    np.testing.assert_array_equal(s128, s256)
+
+    # and both equal the reference formula exactly
+    span_ref = int(256 * W * 0.05)
+    expected = pd.Series(scores).ewm(span=span_ref).mean().to_numpy()
+    np.testing.assert_array_equal(s128, expected)
+
+
 def test_target_dims_scoring(model_and_params, tmp_path):
     cfg = MTADGATConfig(
         n_features=K, window_size=W, out_dim=1, gru_hid_dim=16,
