@@ -13,7 +13,9 @@ here — it documents no hardware and ships no benchmarks), same model shapes
 at batch 64 (its bs-256 step takes ~35 s/step on CPU; windows/sec is the
 batch-size-normalized unit).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value" (bf16 headline), "value_float32",
+"edges_per_sec", "unit", "vs_baseline"} — both compute dtypes and the
+flagship-shape attention edges/s are recorded unconditionally.
 """
 
 from __future__ import annotations
@@ -136,6 +138,14 @@ def bench_torch_cpu(steps: int = 6, bs: int = 64) -> float:
 REF_CPU_WPS = 37.03
 
 
+# Attention edges scored per window at the flagship shape: the feature GAT
+# scores a complete 38-node graph and the temporal GAT a complete 100-node
+# graph per forward pass (SURVEY.md §2.1), so edges/s is derivable from
+# windows/s — this is the BASELINE.md "SDDMM/SpMM edges/s/chip" axis at the
+# flagship training shape (standalone attention-only curves: bench_edges.py).
+FLAGSHIP_EDGES_PER_WINDOW = 38 * 38 + 100 * 100
+
+
 def main() -> None:
     if not tpu_healthy():
         # fall back to host CPU so the benchmark still reports a real number
@@ -144,10 +154,13 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
         tpu_wps = bench_tpu(epochs=1, batches_per_epoch=5)
+        f32_wps = bench_tpu_f32(epochs=1, batches_per_epoch=5)
         ref_wps = REF_CPU_WPS
         print(json.dumps({
             "metric": "train_windows_per_sec",
             "value": round(tpu_wps, 2),
+            "value_float32": round(f32_wps, 2),
+            "edges_per_sec": round(tpu_wps * FLAGSHIP_EDGES_PER_WINDOW),
             "unit": "windows/s",
             "vs_baseline": round(tpu_wps / ref_wps, 2),
             "dtype": "bfloat16",
@@ -155,21 +168,19 @@ def main() -> None:
         }))
         return
     tpu_wps = bench_tpu()
+    f32_wps = bench_tpu_f32()
     ref_wps = REF_CPU_WPS
     if os.environ.get("BENCH_MEASURE_REF"):
         try:
             ref_wps = max(bench_torch_cpu(), 1e-6)
         except Exception as e:
             print(f"reference CPU baseline failed: {e}", file=sys.stderr)
-    extra = {}
-    if os.environ.get("BENCH_F32"):
-        # secondary number: same step at float32 compute (the CLI default
-        # dtype), reported alongside — the headline stays bf16
-        extra["value_float32"] = round(bench_tpu_f32(), 2)
     vs = tpu_wps / ref_wps
     print(json.dumps({
         "metric": "train_windows_per_sec",
         "value": round(tpu_wps, 2),
+        "value_float32": round(f32_wps, 2),
+        "edges_per_sec": round(tpu_wps * FLAGSHIP_EDGES_PER_WINDOW),
         "unit": "windows/s",
         "vs_baseline": round(vs, 2),
         "dtype": "bfloat16",
@@ -178,7 +189,6 @@ def main() -> None:
             "windows_per_sec": ref_wps,
             "samples": "docs/ref_baseline.json",
         },
-        **extra,
     }))
 
 
