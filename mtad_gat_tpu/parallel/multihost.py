@@ -14,10 +14,32 @@ Single-host fallback is automatic, so all call sites are portable down to the
 
 from __future__ import annotations
 
+import os
+import sys
 from typing import Optional, Tuple
 
 import jax
 import numpy as np
+
+def _pod_evidence() -> list:
+    """Environment markers of a managed MULTI-process bootstrap (TPU pod
+    slice / cluster launcher). A failed auto-initialize with these present is
+    a real misconfiguration — silently degrading to single-host training
+    would waste the whole slice. Single-host TPU environments also set
+    ``TPU_WORKER_HOSTNAMES`` (to one hostname), so host lists only count as
+    pod evidence when they actually name multiple workers."""
+    ev = []
+    for var in ("TPU_WORKER_HOSTNAMES", "TPU_PROCESS_ADDRESSES"):
+        if "," in os.environ.get(var, ""):
+            ev.append(var)
+    for var in (
+        "MEGASCALE_COORDINATOR_ADDRESS",
+        "JAX_COORDINATOR_ADDRESS",
+        "COORDINATOR_ADDRESS",
+    ):
+        if os.environ.get(var):
+            ev.append(var)
+    return ev
 
 
 def initialize(
@@ -26,13 +48,22 @@ def initialize(
     process_id: Optional[int] = None,
 ) -> None:
     """``jax.distributed.initialize`` wrapper; no-op for single-process runs
-    (auto-detected when no coordinator is given and no TPU env is set)."""
+    (auto-detected when no coordinator is given and no pod/cluster env is
+    set). A failed auto-bootstrap in a pod environment fails loudly."""
     if coordinator_address is None and num_processes is None:
-        # single-process (or TPU auto-bootstrap environment)
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass  # single-host: nothing to initialize
+        except Exception as e:
+            pod_vars = _pod_evidence()
+            if pod_vars:
+                print(
+                    "multihost.initialize: auto-bootstrap FAILED with pod env "
+                    f"vars {pod_vars} set ({e!r}); refusing to degrade to "
+                    "single-host training.",
+                    file=sys.stderr,
+                )
+                raise
+            # plain single-host: nothing to initialize
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
