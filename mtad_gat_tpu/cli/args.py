@@ -74,6 +74,19 @@ def get_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"])
     parser.add_argument("--attention_impl", type=str, default="dense",
                         choices=["dense", "sparse", "pallas", "ring"])
+    parser.add_argument("--gru_impl", type=str, default="xla",
+                        choices=["xla", "pallas"],
+                        help="GRU recurrent scan: 'xla' lax.scan (default) or "
+                             "'pallas' fused single-launch kernel (measured "
+                             "tie on v5e; docs/PERFORMANCE.md)")
+    parser.add_argument("--feature_graph", type=str, default="complete",
+                        help="feature-GAT topology: 'complete' (reference "
+                             "semantics) or 'knn:K' (k most-|corr|-related "
+                             "features, computed from the train series)")
+    parser.add_argument("--temporal_graph", type=str, default="complete",
+                        help="temporal-GAT topology: 'complete' (reference "
+                             "semantics) or 'band:W' (timestamps within "
+                             "+/-W steps)")
     parser.add_argument("--data_root", type=str, default="datasets")
     parser.add_argument("--output_root", type=str, default="output")
 

@@ -90,6 +90,18 @@ def run_training(
         print(f"Will forecast and reconstruct input features: {target_dims}")
         out_dim = len(target_dims)
 
+    # Data-driven feature topology: resolve 'knn:K' specs to an explicit
+    # edge list from the (normalized) train series, persisted in config.txt
+    # so predict.py rebuilds the identical graph without recomputation.
+    if cfg.feature_graph.startswith("knn:") and cfg.feature_edges is None:
+        from mtad_gat_tpu.graph import knn_edges_from_series, parse_graph_spec
+
+        _, k = parse_graph_spec(cfg.feature_graph)
+        src, dst = knn_edges_from_series(x_train, k)
+        cfg.feature_edges = [list(src), list(dst)]
+        print(f"Feature graph {cfg.feature_graph}: {len(src)} edges "
+              f"(complete would be {n_features * n_features})")
+
     model_cfg = cfg.model_config(n_features, out_dim)
     train_cfg = cfg.train_config()
     args_summary = cfg.to_json()

@@ -54,6 +54,23 @@ class MTADGATConfig:
     # Rematerialize the GAT layers in the backward pass (trade FLOPs for HBM;
     # useful for long windows / large node counts).
     remat_attention: bool = False
+    # GRU recurrent-scan implementation: "xla" (lax.scan, default) or
+    # "pallas" (fused single-launch kernel, kernels/gru_pallas.py). Measured
+    # tie on v5e — both are serial-dependency-bound (docs/PERFORMANCE.md) —
+    # so pallas is an opt-in alternative, not a speedup claim.
+    gru_impl: str = "xla"
+    # Graph topology specs (SURVEY.md §7 north star: the complete graph is
+    # ONE instantiation of the general SDDMM -> segment-softmax -> SpMM
+    # pipeline). Non-complete topologies route through the COO sparse path.
+    #   feature_graph:  "complete" | "knn:K"  (k most |corr|-related features;
+    #                   needs feature_edges, computed from the train series)
+    #   temporal_graph: "complete" | "band:W" (timestamp i attends |i-j|<=W)
+    feature_graph: str = "complete"
+    temporal_graph: str = "complete"
+    # Static COO (src, dst) edge tuples for data-driven feature graphs
+    # (from graph.knn_edges_from_series); JSON round-trips as nested lists,
+    # normalized back to hashable tuples here.
+    feature_edges: Optional[Tuple[Tuple[int, ...], Tuple[int, ...]]] = None
 
     def __post_init__(self):
         # a typo'd impl would otherwise silently fall through to "dense"
@@ -69,6 +86,39 @@ class MTADGATConfig:
             raise ValueError(
                 f"compute_dtype must be float32|bfloat16, "
                 f"got {self.compute_dtype!r}"
+            )
+        if self.gru_impl not in ("xla", "pallas"):
+            raise ValueError(
+                f"gru_impl must be xla|pallas, got {self.gru_impl!r}"
+            )
+        from mtad_gat_tpu.graph.structure import parse_graph_spec
+
+        fkind, _ = parse_graph_spec(self.feature_graph)
+        tkind, _ = parse_graph_spec(self.temporal_graph)
+        if fkind == "band":
+            raise ValueError(
+                "feature_graph must be 'complete' or 'knn:K' (banded topology "
+                "only makes sense on the ordered temporal axis)"
+            )
+        if tkind == "knn":
+            raise ValueError(
+                "temporal_graph must be 'complete' or 'band:W' (k-NN topology "
+                "is data-driven over features)"
+            )
+        if (
+            (fkind != "complete" or tkind != "complete")
+            and self.attention_impl not in ("dense", "sparse")
+        ):
+            raise ValueError(
+                "non-complete graph topologies run through the COO sparse "
+                "path; set attention_impl to 'dense' or 'sparse' "
+                f"(got {self.attention_impl!r})"
+            )
+        if self.feature_edges is not None:
+            src, dst = self.feature_edges
+            self.feature_edges = (
+                tuple(int(s) for s in src),
+                tuple(int(d) for d in dst),
             )
 
     def feat_embed_dim(self) -> int:
@@ -170,8 +220,15 @@ class RunConfig:
     seed: int = 0
     compute_dtype: str = "float32"
     attention_impl: str = "dense"
+    gru_impl: str = "xla"
     data_root: str = "datasets"
     output_root: str = "output"
+    # Graph topology (see MTADGATConfig): feature_edges is filled in by the
+    # train CLI for knn specs (computed from the train series) and persisted
+    # in config.txt so predict reloads the exact same graph.
+    feature_graph: str = "complete"
+    temporal_graph: str = "complete"
+    feature_edges: Optional[List[List[int]]] = None
 
     # --- Multi-chip / multi-host extensions (SURVEY.md §2.7) ---
     # mesh_devices: 0 = single-device (no mesh), -1 = all devices, N = first N
@@ -207,6 +264,13 @@ class RunConfig:
             alpha=self.alpha,
             compute_dtype=self.compute_dtype,
             attention_impl=self.attention_impl,
+            gru_impl=self.gru_impl,
+            feature_graph=self.feature_graph,
+            temporal_graph=self.temporal_graph,
+            feature_edges=(
+                None if self.feature_edges is None
+                else (tuple(self.feature_edges[0]), tuple(self.feature_edges[1]))
+            ),
         )
 
     def train_config(self) -> TrainConfig:

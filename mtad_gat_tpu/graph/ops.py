@@ -103,6 +103,23 @@ def gatv2_scores_coo(
     return jnp.einsum("bef,f->be", z, a, preferred_element_type=jnp.float32)
 
 
+def gatv1_scores_coo(
+    graph: Graph,
+    wx: jax.Array,      # (b, N, e) shared projection
+    a_left: jax.Array,  # (e,)
+    a_right: jax.Array,  # (e,)
+    alpha: float,
+) -> jax.Array:
+    """GATv1 per-edge scores (sparse form of ``gatv1_scores_dense``):
+    e_ij = leakyrelu(u_i + w_j) with u = Wx . a_left, w = Wx . a_right.
+    Returns (b, E)."""
+    u = jnp.einsum("bne,e->bn", wx, a_left, preferred_element_type=jnp.float32)
+    w = jnp.einsum("bne,e->bn", wx, a_right, preferred_element_type=jnp.float32)
+    return jax.nn.leaky_relu(
+        u[:, graph.dst] + w[:, graph.src], negative_slope=alpha
+    )
+
+
 def gat_aggregate_coo(
     graph: Graph,
     scores: jax.Array,        # (b, E)

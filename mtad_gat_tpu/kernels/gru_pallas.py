@@ -1,5 +1,9 @@
 """Fused GRU scan — Pallas TPU kernel for the recurrent half.
 
+Reachable via ``MTADGATConfig(gru_impl="pallas")`` / ``--gru_impl pallas``;
+off by default because it measures a TIE with the XLA scan on v5e (both are
+serial-dependency-bound, docs/PERFORMANCE.md).
+
 The XLA path (``nn/gru.py``) hoists the input projection out of the scan (one
 large MXU matmul) and scans only the recurrent update; that is already the
 right decomposition, but each `lax.scan` step is a separate fusion with its

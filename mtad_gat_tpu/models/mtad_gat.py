@@ -59,6 +59,7 @@ class MTADGAT(nn.Module):
             n_features=c.n_features, window_size=c.window_size,
             dropout=c.dropout, alpha=c.alpha, embed_dim=c.feat_gat_embed_dim,
             use_gatv2=c.use_gatv2, impl=c.attention_impl, compute_dtype=cd,
+            graph_spec=c.feature_graph, edges=c.feature_edges,
             name="feature_gat",
         )(x, deterministic)
 
@@ -66,6 +67,7 @@ class MTADGAT(nn.Module):
             n_features=c.n_features, window_size=c.window_size,
             dropout=c.dropout, alpha=c.alpha, embed_dim=c.time_gat_embed_dim,
             use_gatv2=c.use_gatv2, impl=c.attention_impl, compute_dtype=cd,
+            graph_spec=c.temporal_graph,
             name="temporal_gat",
         )(x, deterministic)
 
@@ -76,6 +78,7 @@ class MTADGAT(nn.Module):
             in_dim=3 * c.n_features, hid_dim=c.gru_hid_dim,
             n_layers=c.gru_n_layers, dropout=c.dropout, compute_dtype=cd,
             collect_outputs=False,  # only h_end is consumed (mtad_gat.py:73-74)
+            impl=c.gru_impl,
             name="gru",
         )(h_cat, deterministic=deterministic)
 
@@ -89,6 +92,7 @@ class MTADGAT(nn.Module):
             window_size=c.window_size, in_dim=c.gru_hid_dim,
             hid_dim=c.recon_hid_dim, out_dim=c.out_dim,
             n_layers=c.recon_n_layers, dropout=c.dropout, compute_dtype=cd,
+            gru_impl=c.gru_impl,
             name="recon_model",
         )(h_end, deterministic=deterministic)
 

@@ -23,19 +23,23 @@ kernel, or a COO sparse path (see ``graph/ops.py`` and
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from mtad_gat_tpu.graph import (
+    banded_edges,
     complete_graph,
     gat_aggregate_coo,
     gat_aggregate_dense,
+    gatv1_scores_coo,
     gatv1_scores_dense,
     gatv2_scores_coo,
     gatv2_scores_dense,
+    graph_from_edges,
+    parse_graph_spec,
 )
 from mtad_gat_tpu.nn.init import (
     torch_linear_bias,
@@ -58,6 +62,11 @@ class _GATCore(nn.Module):
     use_bias: bool = True
     impl: str = "dense"     # "dense" | "sparse" | "pallas" | "ring"
     compute_dtype: jnp.dtype = jnp.float32
+    # Non-complete topology: static (src, dst) COO tuples. When set, the
+    # layer runs the general sparse SDDMM -> segment-softmax -> SpMM path
+    # (graph/ops.py) — the complete graph is just the edges=None special
+    # case (SURVEY.md §7 north star).
+    edges: Optional[Tuple[Tuple[int, ...], Tuple[int, ...]]] = None
 
     @nn.compact
     def __call__(self, v: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -90,15 +99,26 @@ class _GATCore(nn.Module):
             dropout_rng = self.make_rng("dropout")
 
         a_flat = a[:, 0].astype(cd)
+
+        # Resolve the COO graph: custom topology always routes sparse; the
+        # complete graph routes sparse only when impl == "sparse" (the dense
+        # einsum is faster for complete graphs, but the sparse path is the
+        # general machinery and the parity oracle).
+        graph = None
+        if self.edges is not None:
+            graph = graph_from_edges(self.edges[0], self.edges[1], self.n_nodes)
+        elif self.impl == "sparse":
+            graph = complete_graph(self.n_nodes)
+
         if self.use_gatv2:
             # lin([v_i || v_j]) == v_i @ K_left + v_j @ K_right + b
             p = v @ kernel[:d].astype(cd)                       # query side (i)
             q = v @ kernel[d:].astype(cd) + lin_bias.astype(cd)  # key side (j)
-            if self.impl == "sparse":
-                g = complete_graph(self.n_nodes)
-                scores = gatv2_scores_coo(g, p, q, a_flat, self.alpha)
+            if graph is not None:
+                scores = gatv2_scores_coo(graph, p, q, a_flat, self.alpha)
                 return gat_aggregate_coo(
-                    g, scores, v, bias, self.dropout if dropout_rng is not None else 0.0,
+                    graph, scores, v, bias,
+                    self.dropout if dropout_rng is not None else 0.0,
                     dropout_rng,
                 ).astype(cd)
             if self.impl == "pallas":
@@ -125,6 +145,15 @@ class _GATCore(nn.Module):
             scores = gatv2_scores_dense(p, q, a_flat, self.alpha)
         else:
             wx = v @ kernel.astype(cd) + lin_bias.astype(cd)     # (b, N, e)
+            if graph is not None:
+                scores = gatv1_scores_coo(
+                    graph, wx, a_flat[:e], a_flat[e:], self.alpha
+                )
+                return gat_aggregate_coo(
+                    graph, scores, v, bias,
+                    self.dropout if dropout_rng is not None else 0.0,
+                    dropout_rng,
+                ).astype(cd)
             scores = gatv1_scores_dense(wx, a_flat[:e], a_flat[e:], self.alpha)
 
         scores = constrain(scores, "data", "model", None)
@@ -148,9 +177,21 @@ class FeatureAttention(nn.Module):
     use_bias: bool = True
     impl: str = "dense"
     compute_dtype: jnp.dtype = jnp.float32
+    graph_spec: str = "complete"   # "complete" | "knn:K" (edges required)
+    edges: Optional[Tuple[Tuple[int, ...], Tuple[int, ...]]] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        kind, _ = parse_graph_spec(self.graph_spec)
+        edges = None
+        if kind == "knn":
+            if self.edges is None:
+                raise ValueError(
+                    f"feature graph spec {self.graph_spec!r} is data-driven: "
+                    "pass the (src, dst) edge tuples computed from the train "
+                    "series (graph.knn_edges_from_series)"
+                )
+            edges = self.edges
         e = self.embed_dim if self.embed_dim is not None else self.window_size
         if self.use_gatv2:
             e *= 2
@@ -165,6 +206,7 @@ class FeatureAttention(nn.Module):
             use_bias=self.use_bias,
             impl=self.impl,
             compute_dtype=self.compute_dtype,
+            edges=edges,
             name="core",
         )(v, deterministic=deterministic)
         return jnp.swapaxes(h, 1, 2)
@@ -183,9 +225,14 @@ class TemporalAttention(nn.Module):
     use_bias: bool = True
     impl: str = "dense"
     compute_dtype: jnp.dtype = jnp.float32
+    graph_spec: str = "complete"   # "complete" | "band:W"
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        kind, param = parse_graph_spec(self.graph_spec)
+        edges = (
+            banded_edges(self.window_size, param) if kind == "band" else None
+        )
         e = self.embed_dim if self.embed_dim is not None else self.n_features
         if self.use_gatv2:
             e *= 2
@@ -199,5 +246,6 @@ class TemporalAttention(nn.Module):
             use_bias=self.use_bias,
             impl=self.impl,
             compute_dtype=self.compute_dtype,
+            edges=edges,
             name="core",
         )(x, deterministic=deterministic)

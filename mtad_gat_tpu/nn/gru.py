@@ -55,6 +55,11 @@ class GRU(nn.Module):
     # ``out[-1]`` indexing bug makes its sequence output dead (modules.py:237)
     # — so skipping the stacked ys saves an (n, b, hid) HBM write per layer.
     collect_outputs: bool = True
+    # Recurrent-scan implementation: "xla" (lax.scan, the default) or
+    # "pallas" (kernels/gru_pallas.py: whole scan in one fused launch, carry
+    # resident in VMEM). Measured on v5e the two tie — both are bounded by
+    # the serial step dependency (docs/PERFORMANCE.md) — so pallas is opt-in.
+    impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -81,24 +86,36 @@ class GRU(nn.Module):
 
             # Hoist the input projection out of the scan: one big MXU matmul.
             gi = h @ w_ih.astype(cd) + b_ih.astype(cd)          # (b, n, 3h)
-            gi = jnp.swapaxes(gi, 0, 1)                          # (n, b, 3h)
 
-            def step(carry, gi_t, w_hh=w_hh, b_hh=b_hh, collect=collect):
-                gh = carry @ w_hh.astype(cd) + b_hh.astype(cd)   # (b, 3h)
-                i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
-                h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-                r = jax.nn.sigmoid(i_r + h_r)
-                z = jax.nn.sigmoid(i_z + h_z)
-                n = jnp.tanh(i_n + r * h_n)
-                new = (1.0 - z) * n + z * carry
-                return new, new if collect else None
+            if self.impl == "pallas":
+                from mtad_gat_tpu.kernels.gru_pallas import gru_scan_fused
 
-            h0 = jnp.zeros((h.shape[0], self.hid_dim), cd)
-            last_hidden, outs = jax.lax.scan(step, h0, gi, unroll=self.unroll)
-            if collect:
-                h = jnp.swapaxes(outs, 0, 1)                     # (b, n, h)
+                hseq, last_hidden = gru_scan_fused(
+                    gi, w_hh, b_hh, self.hid_dim
+                )
+                last_hidden = last_hidden.astype(cd)
+                h = hseq.astype(cd) if collect else None
             else:
-                h = None
+                gi = jnp.swapaxes(gi, 0, 1)                      # (n, b, 3h)
+
+                def step(carry, gi_t, w_hh=w_hh, b_hh=b_hh, collect=collect):
+                    gh = carry @ w_hh.astype(cd) + b_hh.astype(cd)  # (b, 3h)
+                    i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+                    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+                    r = jax.nn.sigmoid(i_r + h_r)
+                    z = jax.nn.sigmoid(i_z + h_z)
+                    n = jnp.tanh(i_n + r * h_n)
+                    new = (1.0 - z) * n + z * carry
+                    return new, new if collect else None
+
+                h0 = jnp.zeros((h.shape[0], self.hid_dim), cd)
+                last_hidden, outs = jax.lax.scan(
+                    step, h0, gi, unroll=self.unroll
+                )
+                if collect:
+                    h = jnp.swapaxes(outs, 0, 1)                 # (b, n, h)
+                else:
+                    h = None
 
             if (
                 collect and eff_dropout > 0.0 and not deterministic

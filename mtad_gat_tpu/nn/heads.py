@@ -67,6 +67,7 @@ class ReconstructionHead(nn.Module):
     n_layers: int
     dropout: float
     compute_dtype: jnp.dtype = jnp.float32
+    gru_impl: str = "xla"
 
     @nn.compact
     def __call__(self, h_end: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -85,6 +86,7 @@ class ReconstructionHead(nn.Module):
             n_layers=self.n_layers,
             dropout=self.dropout,
             compute_dtype=self.compute_dtype,
+            impl=self.gru_impl,
             name="decoder",
         )(h_rep, deterministic=deterministic)
         return _TorchLinear(

