@@ -247,6 +247,47 @@ def test_get_score_cross_implementation_smd(rng):
         )
 
 
+def test_get_score_cross_implementation_smap(rng):
+    """Same cross-implementation check at SMAP's trained weights (the third
+    and last committed reference run): out_dim=1 target slicing at 25 input
+    features, SMAP's POT table entries (level 0.90 / q 0.005 / reg 0)."""
+    import torch
+
+    run_dir, n_features, out_dim = RUNS["SMAP"]
+    cfg = _run_config(run_dir)
+    sd = torch.load(os.path.join(run_dir, "model.pt"), map_location="cpu")
+    w = cfg["lookback"]
+    series = rng.uniform(0.0, 1.0, size=(w + 29, n_features)).astype(np.float32)
+
+    import prediction as ref_prediction
+
+    pred_args = {
+        "dataset": "SMAP", "target_dims": [0], "scale_scores": False,
+        "q": 0.005, "level": 0.90, "dynamic_pot": False, "use_mov_av": False,
+        "gamma": 1.0, "reg_level": 0, "save_path": "/tmp/unused",
+    }
+    tm = _build_torch(cfg, n_features, out_dim, sd)
+    ref_pred = ref_prediction.Predictor(tm, w, n_features, dict(pred_args))
+    ref_pred.use_cuda = False
+    ref_df = ref_pred.get_score(torch.from_numpy(series))
+
+    from mtad_gat_tpu.inference.predictor import Predictor
+
+    our_pred = Predictor(
+        _build_ours(cfg, n_features, out_dim),
+        torch_state_dict_to_params(sd), w, n_features,
+        {**pred_args, "save_path": "/tmp/unused2"},
+    )
+    our_df = our_pred.get_score(series)
+
+    assert list(our_df.columns) == list(ref_df.columns)
+    for col in ref_df.columns:
+        np.testing.assert_allclose(
+            our_df[col].values, ref_df[col].values, rtol=1e-4, atol=2e-5,
+            err_msg=f"column {col}",
+        )
+
+
 def test_export_roundtrip_and_reference_loads_our_weights(tmp_path, rng):
     """Two-way migration: params -> torch state_dict is the exact inverse of
     the import, and a model trained HERE loads into the reference torch
