@@ -57,6 +57,80 @@ def run_sweep(cfg: RunConfig, groups: Optional[List[str]] = None) -> Dict[str, D
     return results
 
 
+def run_sweep_batched(cfg: RunConfig, groups: Optional[List[str]] = None) -> Dict[str, Dict]:
+    """TPU-native sweep: ALL entities trained simultaneously in one vmapped
+    jitted step (training/multi_entity.py), then scored per entity through
+    the normal Predictor path. Same outputs as the sequential sweep
+    (per-entity run dir with model.msgpack/config.txt/summary.txt +
+    sweep_summary.json)."""
+    import numpy as np
+
+    from mtad_gat_tpu.config import lookup_pot_params
+    from mtad_gat_tpu.data import get_data, get_target_dims
+    from mtad_gat_tpu.inference import Predictor
+    from mtad_gat_tpu.training import MultiEntityTrainer
+    from mtad_gat_tpu.training.checkpoint import save_checkpoint
+
+    groups = groups or discover_smd_entities(cfg.data_root)
+    if not groups:
+        raise FileNotFoundError(
+            f"no processed SMD entities under {cfg.data_root}; run preprocess first"
+        )
+    data = {}
+    for group in groups:
+        gi, idx = group[0], group[2:]
+        data[group] = get_data(
+            f"machine-{gi}-{idx}", data_root=cfg.data_root,
+            normalize=cfg.normalize,
+        )
+    n_features = next(iter(data.values()))[0][0].shape[1]
+    target_dims = get_target_dims("SMD")
+    out_dim = n_features if target_dims is None else len(target_dims)
+
+    model_cfg = cfg.model_config(n_features, out_dim)
+    train_cfg = cfg.train_config()
+    trainer = MultiEntityTrainer(model_cfg, train_cfg, target_dims=target_dims)
+    series_list = [np.asarray(data[g][0][0], np.float32) for g in groups]
+    print(f"Batched sweep: training {len(groups)} entities simultaneously")
+    trainer.fit(series_list)
+
+    from datetime import datetime
+
+    run_id = cfg.run_id or datetime.now().strftime("%d%m%Y_%H%M%S")
+    results = {}
+    for e, group in enumerate(groups):
+        save_path = os.path.join(cfg.output_root, "SMD", group, run_id)
+        os.makedirs(save_path, exist_ok=True)
+        params = trainer.entity_params(e)
+        save_checkpoint(os.path.join(save_path, "model.msgpack"),
+                        {"params": params})
+        level, q, reg_level = lookup_pot_params("SMD", group, cfg.level, cfg.q)
+        predictor = Predictor(
+            trainer.model, params, cfg.lookback, n_features,
+            {
+                "dataset": "SMD", "target_dims": target_dims,
+                "scale_scores": cfg.scale_scores, "level": level, "q": q,
+                "dynamic_pot": cfg.dynamic_pot, "use_mov_av": cfg.use_mov_av,
+                "gamma": cfg.gamma, "reg_level": reg_level,
+                "save_path": save_path,
+            },
+            batch_size=cfg.bs, data_root=cfg.data_root,
+        )
+        (x_train, _), (x_test, y_test) = data[group]
+        label = y_test[cfg.lookback:] if y_test is not None else None
+        results[group] = predictor.predict_anomalies(x_train, x_test, label)
+        entity_cfg = RunConfig.from_dict({**cfg.__dict__, "group": group})
+        entity_cfg.save(os.path.join(save_path, "config.txt"))
+
+    agg = aggregate(results)
+    out = os.path.join(cfg.output_root, "SMD", "sweep_summary.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump({"per_entity": results, "aggregate": agg}, f, indent=2)
+    print(json.dumps(agg, indent=2))
+    return results
+
+
 def aggregate(results: Dict[str, Dict]) -> Dict[str, Dict[str, float]]:
     """Mean and micro-averaged P/R/F1 per thresholding method across entities."""
     agg = {}
@@ -88,10 +162,17 @@ def main() -> None:
     parser = get_parser()
     parser.add_argument("--groups", type=str, default="",
                         help="comma-separated SMD groups (default: all discovered)")
+    parser.add_argument("--batched", action="store_true",
+                        help="train ALL entities simultaneously in one vmapped "
+                             "step (multi-entity batched training) instead of "
+                             "sequentially")
     args = parser.parse_args()
     cfg = to_run_config(args)
     groups = [g for g in args.groups.split(",") if g] or None
-    run_sweep(cfg, groups)
+    if args.batched:
+        run_sweep_batched(cfg, groups)
+    else:
+        run_sweep(cfg, groups)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,256 @@
+"""Multi-entity batched training: train E independent models in ONE jitted
+step via ``jax.vmap`` over a leading entity axis.
+
+The reference's SMD sweep trains 28 machines sequentially
+(``bash_scripts/train_smd.sh:3-30``); its shapes are identical across
+entities, so on TPU the natural formulation is params stacked (E, ...) and
+the whole fleet advanced per step — the per-step fixed costs (GRU serial
+latency, dispatch, sub-MXU-tile matmuls) amortize across entities instead of
+repeating 28 times. This is a capability the reference cannot express, not a
+translation (SURVEY.md §2.6 train_smd.sh row; VERDICT r2 item #9).
+
+Exactness contract: entity e's trajectory matches training it alone with
+the same seed to float tolerance (tested; vmap only changes XLA fusion
+order): identical init (same seed => same init for
+every entity, matching the sequential sweep), identical per-epoch shuffles
+(each entity draws from its own ``default_rng(seed)`` stream exactly like a
+solo run), identical dropout streams (per-entity fold_in of the same carried
+step counter), and padded batches — needed because entities may have
+different series lengths / batch counts — are fully gated out of the params,
+optimizer state, step counter, and rng stream.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mtad_gat_tpu.config import MTADGATConfig, TrainConfig
+from mtad_gat_tpu.data.windows import batched_starts, num_windows
+from mtad_gat_tpu.models import MTADGAT
+from mtad_gat_tpu.training.trainer import make_loss_fn
+
+
+class MultiEntityTrainer:
+    """Train E same-shape entities simultaneously. Series may differ in
+    length; schedules are padded per entity and masked exactly."""
+
+    def __init__(
+        self,
+        model_config: MTADGATConfig,
+        train_config: TrainConfig,
+        target_dims: Optional[Sequence[int]] = None,
+        horizon: int = 1,
+    ):
+        self.model_config = model_config
+        self.train_config = train_config
+        self.model = MTADGAT(model_config)
+        self.target_dims = None if target_dims is None else tuple(target_dims)
+        self.horizon = horizon
+        self.window = model_config.window_size
+        from mtad_gat_tpu.training.trainer import Trainer
+
+        self.tx = Trainer._make_optimizer(train_config)
+        self.params = None      # stacked (E, ...) pytree
+        self.opt_state = None
+        self.steps = None       # (E,) int32
+        self.rngs = None        # (E, 2) keys
+        self.losses = None      # per-entity loss history
+        self._build()
+
+    # ------------------------------------------------------------------
+    def _build(self) -> None:
+        loss_fn = make_loss_fn(
+            self.model, self.window, self.horizon, self.target_dims
+        )
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        tx = self.tx
+
+        def entity_step(params, opt_state, step, rng, series, starts, mask):
+            """One optimizer step for one entity; padded (all-masked) batches
+            must leave params/opt/step/rng-stream untouched so shorter
+            entities stay bit-identical to their solo runs."""
+            real = mask.sum() > 0.0
+            r = jax.random.fold_in(rng, step)
+            (_, (f, rl)), grads = grad_fn(params, series, starts, mask, r, False)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            gate = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(real, a, b), new, old
+            )
+            return (
+                gate(new_params, params),
+                gate(new_opt, opt_state),
+                step + real.astype(jnp.int32),
+                jnp.where(real, f, jnp.nan),
+                jnp.where(real, rl, jnp.nan),
+            )
+
+        v_step = jax.vmap(entity_step)
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def epoch_train(params, opt_state, steps, rngs, series, starts, mask):
+            def body(carry, xs):
+                p, o, s = carry
+                st, m = xs        # (E, bs) each
+                p, o, s, f, r = v_step(p, o, s, rngs, series, st, m)
+                return (p, o, s), (f, r)
+
+            (params, opt_state, steps), (fs, rs) = jax.lax.scan(
+                body, (params, opt_state, steps), (starts, mask)
+            )
+            return params, opt_state, steps, fs, rs
+
+        def entity_eval(params, series, starts, mask):
+            _, (f, r) = loss_fn(params, series, starts, mask, None, True)
+            real = mask.sum() > 0.0
+            return jnp.where(real, f, jnp.nan), jnp.where(real, r, jnp.nan)
+
+        v_eval = jax.vmap(entity_eval)
+
+        @jax.jit
+        def epoch_eval(params, series, starts, mask):
+            def body(_, xs):
+                st, m = xs
+                return None, v_eval(params, series, st, m)
+
+            _, out = jax.lax.scan(body, None, (starts, mask))
+            return out
+
+        self._epoch_train = epoch_train
+        self._epoch_eval = epoch_eval
+
+    # ------------------------------------------------------------------
+    def init_states(self, n_entities: int, seed: Optional[int] = None) -> None:
+        """Same seed for every entity — exactly what the sequential sweep
+        does (each solo run re-seeds with the same train_config.seed)."""
+        seed = self.train_config.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        pkey, rkey = jax.random.split(key)
+        dummy = jnp.zeros(
+            (1, self.window, self.model_config.n_features), jnp.float32
+        )
+        params = self.model.init(pkey, dummy, deterministic=True)["params"]
+        opt = self.tx.init(params)
+        rep = lambda a: jnp.broadcast_to(a, (n_entities,) + a.shape)
+        self.params = jax.tree.map(rep, params)
+        self.opt_state = jax.tree.map(rep, opt)
+        self.steps = jnp.zeros((n_entities,), jnp.int32)
+        self.rngs = jnp.broadcast_to(rkey, (n_entities,) + rkey.shape)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _stack_series(series_list: List[np.ndarray]) -> Tuple[jax.Array, List[int]]:
+        """Pad to max length (pad values are never gathered: start indices
+        only ever cover each entity's real windows)."""
+        t_max = max(s.shape[0] for s in series_list)
+        k = series_list[0].shape[1]
+        out = np.zeros((len(series_list), t_max, k), np.float32)
+        for i, s in enumerate(series_list):
+            out[i, : s.shape[0]] = s
+        return jnp.asarray(out), [s.shape[0] for s in series_list]
+
+    def _epoch_schedule(self, orders: List[np.ndarray], bs: int):
+        """Per-entity shuffled start indices -> (n_batches_max, E, bs) padded
+        arrays + per-entity real batch counts."""
+        per = [batched_starts(0, bs, indices=o) for o in orders]
+        n_max = max(p[0].shape[0] for p in per)
+        E = len(per)
+        starts = np.zeros((n_max, E, bs), np.int32)
+        mask = np.zeros((n_max, E, bs), np.float32)
+        for e, (st, m, _) in enumerate(per):
+            starts[: st.shape[0], e] = st
+            mask[: m.shape[0], e] = m
+        return jnp.asarray(starts), jnp.asarray(mask), [p[0].shape[0] for p in per]
+
+    @staticmethod
+    def _aggregate(fs: np.ndarray, rs: np.ndarray):
+        """Per-entity epoch loss = RMS of that entity's REAL batch RMSEs
+        (padded batches are NaN and excluded) — matches Trainer._aggregate."""
+        f = np.sqrt(np.nanmean(np.asarray(fs) ** 2, axis=0))
+        r = np.sqrt(np.nanmean(np.asarray(rs) ** 2, axis=0))
+        return f, r, f + r
+
+    # ------------------------------------------------------------------
+    def fit(self, series_list: List[np.ndarray], verbose: bool = True) -> None:
+        """Train all entities for train_config.epochs in lockstep. Follows
+        Trainer.fit's schedule semantics per entity (shuffle + optional val
+        split with per-epoch train reshuffle)."""
+        cfg = self.train_config
+        E = len(series_list)
+        if self.params is None:
+            self.init_states(E)
+
+        series, lengths = self._stack_series(series_list)
+        n_wins = [num_windows(t, self.window) for t in lengths]
+
+        # per-entity rng streams: each solo run seeds default_rng(cfg.seed)
+        host_rngs = [np.random.default_rng(cfg.seed) for _ in range(E)]
+        train_idx, val_idx = [], []
+        for e in range(E):
+            idx = np.arange(n_wins[e])
+            if cfg.val_split > 0.0:
+                split = int(np.floor(cfg.val_split * n_wins[e]))
+                if cfg.shuffle_dataset:
+                    host_rngs[e].shuffle(idx)
+                train_idx.append(idx[split:])
+                val_idx.append(idx[:split])
+            else:
+                train_idx.append(idx)
+                val_idx.append(None)
+
+        self.losses = [
+            {k: [] for k in (
+                "train_total", "train_forecast", "train_recon",
+                "val_total", "val_forecast", "val_recon",
+            )}
+            for _ in range(E)
+        ]
+
+        for epoch in range(cfg.epochs):
+            orders = [
+                host_rngs[e].permutation(train_idx[e])
+                if cfg.shuffle_dataset else train_idx[e]
+                for e in range(E)
+            ]
+            starts, mask, _ = self._epoch_schedule(orders, cfg.bs)
+            self.params, self.opt_state, self.steps, fs, rs = self._epoch_train(
+                self.params, self.opt_state, self.steps, self.rngs,
+                series, starts, mask,
+            )
+            f, r, tot = self._aggregate(np.asarray(fs), np.asarray(rs))
+
+            have_val = any(v is not None and len(v) for v in val_idx)
+            if have_val:
+                vstarts, vmask, _ = self._epoch_schedule(
+                    [np.sort(v) if v is not None else np.array([], int)
+                     for v in val_idx],
+                    cfg.bs,
+                )
+                vfs, vrs = self._epoch_eval(self.params, series, vstarts, vmask)
+                vf, vr, vtot = self._aggregate(np.asarray(vfs), np.asarray(vrs))
+
+            for e in range(E):
+                self.losses[e]["train_forecast"].append(float(f[e]))
+                self.losses[e]["train_recon"].append(float(r[e]))
+                self.losses[e]["train_total"].append(float(tot[e]))
+                if have_val:
+                    self.losses[e]["val_forecast"].append(float(vf[e]))
+                    self.losses[e]["val_recon"].append(float(vr[e]))
+                    self.losses[e]["val_total"].append(float(vtot[e]))
+            if verbose:
+                print(
+                    f"[Epoch {epoch + 1}] mean total_loss over {E} entities = "
+                    f"{float(np.mean(tot)):.5f}"
+                )
+
+    # ------------------------------------------------------------------
+    def entity_params(self, e: int):
+        """Unstack entity e's trained parameters (for per-entity prediction
+        / checkpointing through the normal single-entity paths)."""
+        return jax.tree.map(lambda a: a[e], self.params)

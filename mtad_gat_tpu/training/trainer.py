@@ -61,6 +61,33 @@ def masked_rmse(pred: jax.Array, target: jax.Array, mask: jax.Array) -> jax.Arra
     return jnp.sqrt((per_win * w).sum())
 
 
+def make_loss_fn(model: MTADGAT, window: int, horizon: int, target_dims):
+    """Batch loss = RMSE(forecast) + RMSE(recon) over one window batch
+    gathered on-device from the series (reference training.py:113-124).
+    Shared by the single-entity Trainer and the vmapped MultiEntityTrainer."""
+    dims = None if target_dims is None else jnp.asarray(tuple(target_dims))
+
+    def loss_fn(params, series, starts, mask, rng, deterministic):
+        x, y = window_batch(series, starts, window, horizon)
+        if deterministic:
+            preds, recons = model.apply({"params": params}, x, deterministic=True)
+        else:
+            preds, recons = model.apply(
+                {"params": params}, x, deterministic=False,
+                rngs={"dropout": rng},
+            )
+        x_t, y_t = x, y
+        if dims is not None:
+            x_t = x_t[:, :, dims]
+            y_t = y_t[:, :, dims]
+        y_t = y_t[:, 0, :]
+        f = masked_rmse(preds, y_t, mask)
+        r = masked_rmse(recons, x_t, mask)
+        return f + r, (f, r)
+
+    return loss_fn
+
+
 class Trainer:
     """fit / evaluate / save / load, mirroring the reference Trainer API
     surface (``training.py:83,187,231,243``) on raw series inputs."""
@@ -142,35 +169,10 @@ class Trainer:
         )
         return self.state
 
-    # ------------------------------------------------------------------
-    def _slice_targets(self, x, y):
-        """Reference training.py:113-120: optional target-dims slicing; y is
-        (b, horizon, k) -> (b, d)."""
-        if self.target_dims is not None:
-            dims = jnp.asarray(self.target_dims)
-            x = x[:, :, dims]
-            y = y[:, :, dims]
-        return x, y[:, 0, :]
-
     def _build_steps(self) -> None:
-        model = self.model
-        window = self.window
-        horizon = self.horizon
-
-        def loss_fn(params, series, starts, mask, rng, deterministic):
-            x, y = window_batch(series, starts, window, horizon)
-            if deterministic:
-                preds, recons = model.apply({"params": params}, x, deterministic=True)
-            else:
-                preds, recons = model.apply(
-                    {"params": params}, x, deterministic=False,
-                    rngs={"dropout": rng},
-                )
-            x_t, y_t = self._slice_targets(x, y)
-            f = masked_rmse(preds, y_t, mask)
-            r = masked_rmse(recons, x_t, mask)
-            return f + r, (f, r)
-
+        loss_fn = make_loss_fn(
+            self.model, self.window, self.horizon, self.target_dims
+        )
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
         @partial(jax.jit, donate_argnums=(0,))

@@ -50,3 +50,40 @@ def test_aggregate_micro():
     agg = aggregate(results)
     assert agg["bf_result"]["mean_f1"] == 0.5
     assert agg["bf_result"]["micro_precision"] < 1.0
+
+
+def test_sweep_batched_two_entities(tmp_path):
+    """--batched sweep: both entities trained in ONE vmapped step, same
+    output surface as the sequential sweep (run dirs, summaries, aggregate),
+    and ragged entity lengths handled."""
+    from mtad_gat_tpu.cli.sweep_cli import run_sweep_batched
+
+    root = tmp_path / "datasets"
+    proc = root / "ServerMachineDataset" / "processed"
+    os.makedirs(proc)
+    for i, (group, n_train) in enumerate([("1-1", 300), ("1-2", 260)]):
+        train, test, labels = synthetic_series(
+            n_train=n_train, n_test=200, n_features=38, seed=i
+        )
+        for suffix, arr in [("train", train), ("test", test),
+                            ("test_label", labels.astype(np.float32))]:
+            with open(proc / f"machine-{group}_{suffix}.pkl", "wb") as f:
+                pickle.dump(arr, f)
+
+    cfg = RunConfig(
+        dataset="SMD", lookback=20, epochs=1, bs=32, gru_hid_dim=16,
+        fc_hid_dim=16, fc_n_layers=1, recon_hid_dim=16,
+        log_tensorboard=False, data_root=str(root),
+        output_root=str(tmp_path / "output"), run_id="batchedrun",
+    )
+    results = run_sweep_batched(cfg)
+    assert set(results) == {"1-1", "1-2"}
+    for group in ("1-1", "1-2"):
+        d = tmp_path / "output" / "SMD" / group / "batchedrun"
+        assert (d / "model.msgpack").exists()
+        assert (d / "config.txt").exists()
+        assert (d / "summary.txt").exists()
+
+    with open(tmp_path / "output" / "SMD" / "sweep_summary.json") as f:
+        sweep = json.load(f)
+    assert sweep["aggregate"]["bf_result"]["n_entities"] == 2
