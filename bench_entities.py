@@ -97,9 +97,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--entities", type=int, nargs="*", default=[4, 8])
     ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--bs", type=int, default=256, help="per-entity batch size")
     args = ap.parse_args()
     for E in args.entities:
-        bench(E, batches_per_epoch=args.batches)
+        bench(E, batches_per_epoch=args.batches, bs=args.bs)
 
 
 if __name__ == "__main__":

@@ -46,6 +46,7 @@ class MultiEntityTrainer:
         train_config: TrainConfig,
         target_dims: Optional[Sequence[int]] = None,
         horizon: int = 1,
+        mesh=None,
     ):
         self.model_config = model_config
         self.train_config = train_config
@@ -53,6 +54,12 @@ class MultiEntityTrainer:
         self.target_dims = None if target_dims is None else tuple(target_dims)
         self.horizon = horizon
         self.window = model_config.window_size
+        # Optional jax.sharding.Mesh: the ENTITY axis is sharded over the
+        # mesh's data axis — entities are independent, so the fleet
+        # distributes across chips with ZERO collectives in the step (the
+        # embarrassingly-parallel scale-out of the reference's sweep; only
+        # the optimizer psum-free layout GSPMD derives from these anchors).
+        self.mesh = mesh
         from mtad_gat_tpu.training.trainer import Trainer
 
         self.tx = Trainer._make_optimizer(train_config)
@@ -93,13 +100,35 @@ class MultiEntityTrainer:
 
         v_step = jax.vmap(entity_step)
 
+        def shard_entities(tree, batch_dims=0):
+            """Constrain leading entity axis over the mesh's data axis."""
+            if self.mesh is None:
+                return tree
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def one(a):
+                spec = [None] * a.ndim
+                spec[batch_dims] = "data"
+                return jax.lax.with_sharding_constraint(
+                    a, NamedSharding(self.mesh, PartitionSpec(*spec))
+                )
+
+            return jax.tree.map(one, tree)
+
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def epoch_train(params, opt_state, steps, rngs, series, starts, mask):
+            params = shard_entities(params)
+            opt_state = shard_entities(opt_state)
+            rngs = shard_entities(rngs)
+            series = shard_entities(series)
+            starts = shard_entities(starts, batch_dims=1)  # (n_batches, E, bs)
+            mask = shard_entities(mask, batch_dims=1)
+
             def body(carry, xs):
                 p, o, s = carry
                 st, m = xs        # (E, bs) each
                 p, o, s, f, r = v_step(p, o, s, rngs, series, st, m)
-                return (p, o, s), (f, r)
+                return (shard_entities(p), shard_entities(o), s), (f, r)
 
             (params, opt_state, steps), (fs, rs) = jax.lax.scan(
                 body, (params, opt_state, steps), (starts, mask)
@@ -115,6 +144,11 @@ class MultiEntityTrainer:
 
         @jax.jit
         def epoch_eval(params, series, starts, mask):
+            params = shard_entities(params)
+            series = shard_entities(series)
+            starts = shard_entities(starts, batch_dims=1)
+            mask = shard_entities(mask, batch_dims=1)
+
             def body(_, xs):
                 st, m = xs
                 return None, v_eval(params, series, st, m)

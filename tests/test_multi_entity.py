@@ -98,3 +98,34 @@ def test_entities_actually_differ():
     p0 = jax.tree.leaves(mt.entity_params(0))[0]
     p1 = jax.tree.leaves(mt.entity_params(1))[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_entity_axis_sharded_over_mesh_matches_unsharded():
+    """Entity-sharded fleet (entity axis over the mesh data axis — the
+    embarrassingly-parallel sweep scale-out) matches the unsharded vmapped
+    run on the 8-device farm."""
+    from mtad_gat_tpu.parallel import make_mesh
+
+    cfg = MTADGATConfig(**CFG, dropout=0.2)
+    tcfg = TrainConfig(epochs=2, val_split=0.0, bs=8, init_lr=1e-3,
+                       log_tensorboard=False, seed=0)
+    series = _series([64] * 8)
+
+    mt0 = MultiEntityTrainer(cfg, tcfg)
+    mt0.fit(series, verbose=False)
+
+    mesh = make_mesh(8, model_parallel=1)  # data axis = 8 = entity shards
+    mt1 = MultiEntityTrainer(cfg, tcfg, mesh=mesh)
+    mt1.fit(series, verbose=False)
+
+    for e in range(8):
+        np.testing.assert_allclose(
+            mt1.losses[e]["train_total"], mt0.losses[e]["train_total"],
+            rtol=2e-4, atol=1e-5, err_msg=f"entity {e}",
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        ),
+        mt1.params, mt0.params,
+    )
