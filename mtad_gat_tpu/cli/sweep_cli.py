@@ -87,9 +87,20 @@ def run_sweep_batched(cfg: RunConfig, groups: Optional[List[str]] = None) -> Dic
     target_dims = get_target_dims("SMD")
     out_dim = n_features if target_dims is None else len(target_dims)
 
+    mesh = None
+    if cfg.mesh_devices:
+        from mtad_gat_tpu.parallel import make_mesh
+
+        n = None if cfg.mesh_devices < 0 else cfg.mesh_devices
+        # entity axis shards over the data axis: keep the mesh 1-way on model
+        mesh = make_mesh(n, model_parallel=1)
+        print(f"Batched sweep mesh: {dict(mesh.shape)} (entity axis over data)")
+
     model_cfg = cfg.model_config(n_features, out_dim)
     train_cfg = cfg.train_config()
-    trainer = MultiEntityTrainer(model_cfg, train_cfg, target_dims=target_dims)
+    trainer = MultiEntityTrainer(
+        model_cfg, train_cfg, target_dims=target_dims, mesh=mesh
+    )
     series_list = [np.asarray(data[g][0][0], np.float32) for g in groups]
     print(f"Batched sweep: training {len(groups)} entities simultaneously")
     trainer.fit(series_list)

@@ -6,10 +6,13 @@ TensorBoard's profile plugin or xprof. ``timed`` is a lightweight wall-clock
 section timer that also forces device completion via a host fetch (plain
 ``block_until_ready`` is not a reliable barrier over remote-attached TPUs).
 
-Caveat: device-trace collection requires a locally attached backend; over a
-remote-attach tunnel (the ``axon`` platform) ``stop_trace`` can block waiting
-for device trace data that never arrives. Prefer wall-clock knockouts
-(docs/PERFORMANCE.md methodology) on remote attaches.
+Device tracing verified working on the remote-attach (axon PJRT) backend of
+this project's bench machine: ``stop_trace`` returns and the captured
+``*.xplane.pb`` / ``*.trace.json.gz`` contain a real ``/device:TPU:0`` plane
+(pinned by ``tests_tpu/test_hardware_kernels.py::
+test_profile_dir_device_trace_on_hardware``; an earlier toolchain could hang
+in ``stop_trace`` — if that recurs, kill the exact PID and fall back to the
+wall-clock knockout methodology in docs/PERFORMANCE.md).
 """
 
 from __future__ import annotations

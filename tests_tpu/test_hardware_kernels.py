@@ -11,6 +11,8 @@ compare against the dense XLA path at matched dtype.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -306,3 +308,43 @@ def test_gru_impl_pallas_model_on_hardware():
     np.testing.assert_allclose(
         np.asarray(got[1]), np.asarray(want[1]), atol=1e-4
     )
+
+
+def test_profile_dir_device_trace_on_hardware(tmp_path):
+    """--profile_dir on the REAL chip: the Trainer's traced epoch must leave
+    an xplane capture whose trace contains a /device:TPU plane (the round-2
+    caveat said remote-attach stop_trace could hang; this pins that device
+    tracing works on the current toolchain)."""
+    import glob
+    import gzip
+    import json
+
+    from mtad_gat_tpu.config import MTADGATConfig, TrainConfig
+    from mtad_gat_tpu.training import Trainer
+
+    prof_dir = str(tmp_path / "prof")
+    cfg = MTADGATConfig(
+        n_features=6, window_size=16, out_dim=6, kernel_size=7,
+        gru_hid_dim=12, forecast_hid_dim=12, forecast_n_layers=1,
+        recon_hid_dim=12, recon_n_layers=1, dropout=0.1,
+    )
+    tcfg = TrainConfig(epochs=2, val_split=0.0, bs=8, init_lr=1e-3,
+                       log_tensorboard=False, seed=0, profile_dir=prof_dir,
+                       checkpoint_every=0)
+    trainer = Trainer(cfg, tcfg, save_path="", log_dir=str(tmp_path))
+    trainer.init_state()
+    trainer.fit(np.random.default_rng(0).standard_normal((100, 6)).astype(np.float32))
+
+    xplanes = glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
+                        recursive=True)
+    assert xplanes, f"no xplane capture under {prof_dir}"
+    traces = glob.glob(os.path.join(prof_dir, "**", "*.trace.json.gz"),
+                       recursive=True)
+    assert traces
+    data = json.load(gzip.open(traces[0]))
+    procs = {
+        ev["args"].get("name", "")
+        for ev in data.get("traceEvents", [])
+        if ev.get("ph") == "M" and ev.get("name") == "process_name"
+    }
+    assert any("TPU" in p for p in procs), f"no TPU device plane in {procs}"
