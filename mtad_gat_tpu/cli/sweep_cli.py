@@ -65,9 +65,8 @@ def run_sweep_batched(cfg: RunConfig, groups: Optional[List[str]] = None) -> Dic
     sweep_summary.json)."""
     import numpy as np
 
-    from mtad_gat_tpu.config import lookup_pot_params
+    from mtad_gat_tpu.cli.train_cli import run_prediction
     from mtad_gat_tpu.data import get_data, get_target_dims
-    from mtad_gat_tpu.inference import Predictor
     from mtad_gat_tpu.training import MultiEntityTrainer
     from mtad_gat_tpu.training.checkpoint import save_checkpoint
 
@@ -78,14 +77,28 @@ def run_sweep_batched(cfg: RunConfig, groups: Optional[List[str]] = None) -> Dic
         )
     data = {}
     for group in groups:
-        gi, idx = group[0], group[2:]
         data[group] = get_data(
-            f"machine-{gi}-{idx}", data_root=cfg.data_root,
+            f"machine-{group}", data_root=cfg.data_root,
             normalize=cfg.normalize,
         )
     n_features = next(iter(data.values()))[0][0].shape[1]
     target_dims = get_target_dims("SMD")
     out_dim = n_features if target_dims is None else len(target_dims)
+
+    series_list = [np.asarray(data[g][0][0], np.float32) for g in groups]
+
+    # The vmapped fleet shares ONE static topology, so a data-driven
+    # 'knn:K' feature graph is resolved from the CONCATENATED train series
+    # of all entities (the fleet-level correlation structure). Per-entity
+    # graphs require the sequential sweep.
+    if cfg.feature_graph.startswith("knn:") and cfg.feature_edges is None:
+        from mtad_gat_tpu.graph import knn_edges_from_series, parse_graph_spec
+
+        _, k = parse_graph_spec(cfg.feature_graph)
+        src, dst = knn_edges_from_series(np.concatenate(series_list, axis=0), k)
+        cfg.feature_edges = [list(src), list(dst)]
+        print(f"Feature graph {cfg.feature_graph} (shared across the fleet, "
+              f"from concatenated train series): {len(src)} edges")
 
     mesh = None
     if cfg.mesh_devices:
@@ -101,7 +114,6 @@ def run_sweep_batched(cfg: RunConfig, groups: Optional[List[str]] = None) -> Dic
     trainer = MultiEntityTrainer(
         model_cfg, train_cfg, target_dims=target_dims, mesh=mesh
     )
-    series_list = [np.asarray(data[g][0][0], np.float32) for g in groups]
     print(f"Batched sweep: training {len(groups)} entities simultaneously")
     trainer.fit(series_list)
 
@@ -115,21 +127,11 @@ def run_sweep_batched(cfg: RunConfig, groups: Optional[List[str]] = None) -> Dic
         params = trainer.entity_params(e)
         save_checkpoint(os.path.join(save_path, "model.msgpack"),
                         {"params": params})
-        level, q, reg_level = lookup_pot_params("SMD", group, cfg.level, cfg.q)
-        predictor = Predictor(
-            trainer.model, params, cfg.lookback, n_features,
-            {
-                "dataset": "SMD", "target_dims": target_dims,
-                "scale_scores": cfg.scale_scores, "level": level, "q": q,
-                "dynamic_pot": cfg.dynamic_pot, "use_mov_av": cfg.use_mov_av,
-                "gamma": cfg.gamma, "reg_level": reg_level,
-                "save_path": save_path,
-            },
-            batch_size=cfg.bs, data_root=cfg.data_root,
-        )
         (x_train, _), (x_test, y_test) = data[group]
-        label = y_test[cfg.lookback:] if y_test is not None else None
-        results[group] = predictor.predict_anomalies(x_train, x_test, label)
+        results[group] = run_prediction(
+            trainer.model, params, cfg, "SMD", group, target_dims,
+            n_features, save_path, x_train, x_test, y_test,
+        )
         entity_cfg = RunConfig.from_dict({**cfg.__dict__, "group": group})
         entity_cfg.save(os.path.join(save_path, "config.txt"))
 

@@ -24,6 +24,36 @@ from mtad_gat_tpu.training import Trainer
 from mtad_gat_tpu.utils.plotting import plot_losses
 
 
+def run_prediction(
+    model, params, cfg: RunConfig, dataset: str, group: str, target_dims,
+    n_features: int, save_path: str, x_train, x_test, y_test,
+    summary_file_name: str = "summary.txt",
+):
+    """Per-dataset POT/epsilon param lookup + Predictor + predict_anomalies
+    (reference train.py:126-167) — shared by the train pipeline and both
+    sweep modes so scoring behavior cannot drift between them."""
+    level, q, reg_level = lookup_pot_params(dataset, group, cfg.level, cfg.q)
+    predictor = Predictor(
+        model, params, cfg.lookback, n_features,
+        {
+            "dataset": dataset,
+            "target_dims": target_dims,
+            "scale_scores": cfg.scale_scores,
+            "level": level,
+            "q": q,
+            "dynamic_pot": cfg.dynamic_pot,
+            "use_mov_av": cfg.use_mov_av,
+            "gamma": cfg.gamma,
+            "reg_level": reg_level,
+            "save_path": save_path,
+        },
+        summary_file_name=summary_file_name,
+        batch_size=cfg.bs, data_root=cfg.data_root,
+    )
+    label = y_test[cfg.lookback:] if y_test is not None else None
+    return predictor.predict_anomalies(x_train, x_test, label)
+
+
 def run_training(
     cfg: RunConfig,
     run_id: str | None = None,
@@ -133,27 +163,11 @@ def run_training(
     print(f"Test reconstruction loss: {test_loss[1]:.5f}")
     print(f"Test total loss: {test_loss[2]:.5f}")
 
-    level, q, reg_level = lookup_pot_params(dataset, cfg.group, cfg.level, cfg.q)
-
     trainer.load(os.path.join(save_path, "model.msgpack"))
-    prediction_args = {
-        "dataset": dataset,
-        "target_dims": target_dims,
-        "scale_scores": cfg.scale_scores,
-        "level": level,
-        "q": q,
-        "dynamic_pot": cfg.dynamic_pot,
-        "use_mov_av": cfg.use_mov_av,
-        "gamma": cfg.gamma,
-        "reg_level": reg_level,
-        "save_path": save_path,
-    }
-    predictor = Predictor(
-        trainer.model, trainer.state.params, window_size, n_features,
-        prediction_args, batch_size=cfg.bs, data_root=cfg.data_root,
+    run_prediction(
+        trainer.model, trainer.state.params, cfg, dataset, cfg.group,
+        target_dims, n_features, save_path, x_train, x_test, y_test,
     )
-    label = y_test[window_size:] if y_test is not None else None
-    predictor.predict_anomalies(x_train, x_test, label)
 
     cfg.save(os.path.join(save_path, "config.txt"))
     return save_path

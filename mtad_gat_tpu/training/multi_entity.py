@@ -22,6 +22,7 @@ optimizer state, step counter, and rng stream.
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
@@ -259,21 +260,26 @@ class MultiEntityTrainer:
             )
             f, r, tot = self._aggregate(np.asarray(fs), np.asarray(rs))
 
-            have_val = any(v is not None and len(v) for v in val_idx)
-            if have_val:
+            # per-entity: an entity whose split rounded to zero val windows
+            # records NO val entries, exactly like its solo Trainer run
+            ent_has_val = [v is not None and len(v) > 0 for v in val_idx]
+            if any(ent_has_val):
                 vstarts, vmask, _ = self._epoch_schedule(
-                    [np.sort(v) if v is not None else np.array([], int)
-                     for v in val_idx],
+                    [np.sort(v) if has else np.array([], int)
+                     for v, has in zip(val_idx, ent_has_val)],
                     cfg.bs,
                 )
                 vfs, vrs = self._epoch_eval(self.params, series, vstarts, vmask)
-                vf, vr, vtot = self._aggregate(np.asarray(vfs), np.asarray(vrs))
+                with np.errstate(invalid="ignore"), warnings.catch_warnings():
+                    # all-NaN columns (entities without val) are skipped below
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    vf, vr, vtot = self._aggregate(np.asarray(vfs), np.asarray(vrs))
 
             for e in range(E):
                 self.losses[e]["train_forecast"].append(float(f[e]))
                 self.losses[e]["train_recon"].append(float(r[e]))
                 self.losses[e]["train_total"].append(float(tot[e]))
-                if have_val:
+                if ent_has_val[e]:
                     self.losses[e]["val_forecast"].append(float(vf[e]))
                     self.losses[e]["val_recon"].append(float(vr[e]))
                     self.losses[e]["val_total"].append(float(vtot[e]))

@@ -112,7 +112,8 @@ def test_knn_edges_pick_correlated_features():
     assert nbr[0] == [1] and nbr[1] == [0]
     assert nbr[2] == [3] and nbr[3] == [2]
     # self loops always present, dst-sorted
-    assert all((d, d) in zip(src, dst) or True for d in range(5))
+    pairs = set(zip(src, dst))
+    assert all((d, d) in pairs for d in range(5))
     assert list(dst) == sorted(dst)
     # each destination has exactly k+1 incident edges (self + k)
     counts = np.bincount(np.asarray(dst), minlength=5)

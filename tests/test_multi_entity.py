@@ -129,3 +129,30 @@ def test_entity_axis_sharded_over_mesh_matches_unsharded():
         ),
         mt1.params, mt0.params,
     )
+
+
+def test_entity_with_empty_val_split_records_no_val_entries(tmp_path):
+    """An entity whose val split rounds to zero windows must record NO val
+    losses (like its solo run), not NaNs, while other entities still do."""
+    cfg = MTADGATConfig(**CFG, dropout=0.0)
+    tcfg = TrainConfig(epochs=1, val_split=0.2, bs=8, init_lr=1e-3,
+                       log_tensorboard=False, seed=0)
+    # entity 1: 13 points -> 3 windows -> floor(0.2*3) = 0 val windows
+    series = _series([80, 13])
+
+    mt = MultiEntityTrainer(cfg, tcfg)
+    mt.fit(series, verbose=False)
+
+    assert len(mt.losses[0]["val_total"]) == 1
+    assert np.isfinite(mt.losses[0]["val_total"][0])
+    assert mt.losses[1]["val_total"] == []
+    assert len(mt.losses[1]["train_total"]) == 1
+    assert np.isfinite(mt.losses[1]["train_total"][0])
+
+    # and the solo run for the empty-val entity agrees
+    solo_losses, _ = _solo_losses(cfg, tcfg, series[1], tmp_path)
+    assert solo_losses["val_total"] == []
+    np.testing.assert_allclose(
+        mt.losses[1]["train_total"], solo_losses["train_total"],
+        rtol=2e-4, atol=1e-5,
+    )
