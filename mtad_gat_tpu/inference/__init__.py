@@ -8,6 +8,7 @@ from mtad_gat_tpu.inference.eval_methods import (
 )
 from mtad_gat_tpu.inference.spot import SPOT, dSPOT, biSPOT, bidSPOT
 from mtad_gat_tpu.inference.predictor import Predictor
+from mtad_gat_tpu.inference.online import OnlineScorer
 
 __all__ = [
     "adjust_predicts",
@@ -21,4 +22,5 @@ __all__ = [
     "biSPOT",
     "bidSPOT",
     "Predictor",
+    "OnlineScorer",
 ]

@@ -1,0 +1,171 @@
+"""Online (streaming) anomaly scoring — the production-serving path.
+
+The reference can only score a complete series offline
+(``prediction.py:36-94`` batches the whole test set). This module scores
+points AS THEY ARRIVE with O(window) state and exactly one jitted forward
+pass per point, producing the same per-timestep scores as the offline
+``Predictor.get_score`` (tested):
+
+- score at time t needs the forecast from window [t-w, t) and the last-step
+  reconstruction of window (t-w, t]. The forecast for t is computed when
+  point t-1 arrives (it is the "next-step" output of that window), held as
+  the pending forecast, and consumed when x_t arrives — one forward per
+  point instead of the naive two, the streaming form of the offline
+  single-pass trick (``predictor.py`` module docstring).
+- the window lives in a device-resident ring buffer advanced inside the
+  jitted step (donated, so the update is in-place on TPU); per-point
+  host<->device traffic is one (k,) point in and three small arrays out.
+- thresholding is either a fixed epsilon (Hundman, from the training scores)
+  or streaming POT: ``SPOT.step`` — the incrementalized body of
+  ``SPOT.run(dynamic=True)`` (``spot.py:210``) — re-fits the GPD tail online
+  exactly like the batch run.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtad_gat_tpu.inference.eval_methods import find_epsilon
+from mtad_gat_tpu.inference.spot import SPOT
+from mtad_gat_tpu.models import MTADGAT
+
+
+class OnlineScorer:
+    """Streaming scorer over a trained model.
+
+    Usage::
+
+        scorer = OnlineScorer(model, params, window_size=100, n_features=38)
+        scorer.fit_threshold(train_scores, method="epsilon")  # or "spot"
+        for x in stream:                       # x: (n_features,)
+            out = scorer.update(x)
+            if out is not None and out["is_anomaly"]:
+                ...
+
+    ``update`` returns None until enough points have arrived (the first
+    scoreable point is the (window_size+1)-th, matching the offline scorer's
+    ``values[w:]``), then a dict with per-feature and global scores, the
+    active threshold, and the alarm flag.
+    """
+
+    def __init__(
+        self,
+        model: MTADGAT,
+        params: dict,
+        window_size: int,
+        n_features: int,
+        target_dims: Optional[Sequence[int]] = None,
+        gamma: float = 1.0,
+    ):
+        self.model = model
+        self.params = params
+        self.window = window_size
+        self.n_features = n_features
+        self.target_dims = None if target_dims is None else list(target_dims)
+        self.gamma = gamma
+        self.out_dim = (
+            n_features if self.target_dims is None else len(self.target_dims)
+        )
+
+        self._seen = 0
+        self._buffer = jnp.zeros((window_size, n_features), jnp.float32)
+        self._pending_forecast: Optional[np.ndarray] = None
+        self._threshold_method: Optional[str] = None
+        self._epsilon: Optional[float] = None
+        self._spot: Optional[SPOT] = None
+
+        model_apply = model.apply
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(params, buffer, x):
+            # roll the ring buffer and run ONE forward on the window ending
+            # at the new point: forecast of the NEXT point + recon of the
+            # newest point (prediction.py:55-63 semantics, streamed)
+            buffer = jnp.concatenate([buffer[1:], x[None, :]], axis=0)
+            preds, recons = model_apply(
+                {"params": params}, buffer[None], deterministic=True
+            )
+            return buffer, preds[0], recons[0, -1, :]
+
+        self._step = step
+
+    # ------------------------------------------------------------------
+    def fit_threshold(
+        self,
+        train_scores: np.ndarray,
+        method: str = "epsilon",
+        reg_level: int = 1,
+        q: float = 1e-3,
+        level: float = 0.98,
+    ) -> None:
+        """Arm the alarm from training-split global scores (produced offline
+        by ``Predictor.get_score`` or by replaying the train series through
+        ``update``)."""
+        train_scores = np.asarray(train_scores, np.float64)
+        if method == "epsilon":
+            self._epsilon = float(find_epsilon(train_scores, reg_level=reg_level))
+        elif method == "spot":
+            spot = SPOT(q)
+            # init on the training scores only; the stream arrives via step()
+            spot.fit(train_scores, np.empty(0))
+            spot.initialize(level=level)
+            self._spot = spot
+        else:
+            raise ValueError(f"threshold method must be epsilon|spot, got {method!r}")
+        self._threshold_method = method
+
+    # ------------------------------------------------------------------
+    def update(self, x: np.ndarray) -> Optional[Dict]:
+        """Feed one observation (n_features,); returns the score record for
+        this timestep, or None while the window is still filling."""
+        x = jnp.asarray(np.asarray(x, np.float32).reshape(self.n_features))
+        self._buffer, forecast, recon_last = self._step(
+            self.params, self._buffer, x
+        )
+        self._seen += 1
+
+        record = None
+        if self._pending_forecast is not None and self._seen > self.window:
+            actual = np.asarray(x)
+            if self.target_dims is not None:
+                actual = actual[self.target_dims]
+            recon = np.asarray(recon_last)
+            a_score = (
+                np.sqrt((self._pending_forecast - actual) ** 2)
+                + self.gamma * np.sqrt((recon - actual) ** 2)
+            )
+            global_score = float(a_score.mean())
+            record = {
+                "t": self._seen - 1,
+                "forecast": self._pending_forecast,
+                "recon": recon,
+                "a_score": a_score,
+                "score": global_score,
+            }
+            if self._threshold_method == "epsilon":
+                record["threshold"] = self._epsilon
+                record["is_anomaly"] = global_score >= self._epsilon
+            elif self._threshold_method == "spot":
+                record["is_anomaly"] = self._spot.step(global_score)
+                record["threshold"] = float(self._spot.extreme_quantile)
+
+        # forecast emitted by the window ending at this point predicts the
+        # NEXT point; hold it until that point arrives
+        if self._seen >= self.window:
+            self._pending_forecast = np.asarray(forecast)
+        return record
+
+    def update_many(self, xs: np.ndarray) -> list:
+        """Feed a chunk of observations (T, n_features); returns the list of
+        non-None records."""
+        out = []
+        for x in np.asarray(xs, np.float32):
+            rec = self.update(x)
+            if rec is not None:
+                out.append(rec)
+        return out

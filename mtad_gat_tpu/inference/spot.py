@@ -228,26 +228,35 @@ class SPOT:
             return {"thresholds": th, "alarms": alarm}
 
         for i in range(data.size):
-            x = data[i]
-            if x > self.extreme_quantile:
-                if with_alarm:
-                    alarm.append(i)
-                else:
-                    self.peaks = np.append(self.peaks, x - self.init_threshold)
-                    self.Nt += 1
-                    self.n += 1
-                    g, s, _ = self._grimshaw()
-                    self.extreme_quantile = self._quantile(g, s)
-            elif x > self.init_threshold:
-                self.peaks = np.append(self.peaks, x - self.init_threshold)
-                self.Nt += 1
-                self.n += 1
-                g, s, _ = self._grimshaw()
-                self.extreme_quantile = self._quantile(g, s)
-            else:
-                self.n += 1
+            if self.step(data[i], with_alarm=with_alarm):
+                alarm.append(i)
             th.append(self.extreme_quantile)
         return {"thresholds": th, "alarms": alarm}
+
+    def step(self, x: float, with_alarm: bool = True) -> bool:
+        """One streaming point of the dynamic-mode loop (the body of ``run``,
+        incrementalized for online serving — ``inference/online.py``).
+        Updates the GPD fit / extreme quantile state and returns whether this
+        point alarms. Semantics identical to ``run(dynamic=True)``: an
+        over-quantile point alarms (or, with_alarm=False, is absorbed as a
+        peak); an over-init-threshold point re-fits Grimshaw."""
+        if x > self.extreme_quantile:
+            if with_alarm:
+                return True
+            self.peaks = np.append(self.peaks, x - self.init_threshold)
+            self.Nt += 1
+            self.n += 1
+            g, s, _ = self._grimshaw()
+            self.extreme_quantile = self._quantile(g, s)
+        elif x > self.init_threshold:
+            self.peaks = np.append(self.peaks, x - self.init_threshold)
+            self.Nt += 1
+            self.n += 1
+            g, s, _ = self._grimshaw()
+            self.extreme_quantile = self._quantile(g, s)
+        else:
+            self.n += 1
+        return False
 
 # ---------------------------------------------------------------------------
 # Variants: drift-aware and two-sided

@@ -1,0 +1,122 @@
+"""Online streaming scorer: per-point scores must EQUAL the offline
+Predictor.get_score dataframe (same model/params/series), SPOT.step must
+replay SPOT.run exactly, and the end-to-end alarm path fires on an injected
+anomaly. Reference counterpart: none — the reference scores offline only
+(prediction.py:36-94)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mtad_gat_tpu.config import MTADGATConfig
+from mtad_gat_tpu.data import synthetic_series
+from mtad_gat_tpu.inference import OnlineScorer, Predictor, SPOT
+from mtad_gat_tpu.models import MTADGAT
+
+K, W = 5, 12
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = MTADGATConfig(
+        n_features=K, window_size=W, out_dim=K, gru_hid_dim=16,
+        forecast_hid_dim=16, forecast_n_layers=1, recon_hid_dim=16,
+        recon_n_layers=1, dropout=0.0,
+    )
+    model = MTADGAT(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, W, K)))["params"]
+    return model, params
+
+
+def test_online_scores_match_offline_predictor(model_and_params, tmp_path):
+    model, params = model_and_params
+    _, test, _ = synthetic_series(n_train=80, n_test=90, n_features=K)
+
+    offline = Predictor(
+        model, params, W, K,
+        {"dataset": "SMD", "target_dims": None, "scale_scores": False,
+         "q": 1e-3, "level": 0.98, "dynamic_pot": False, "use_mov_av": False,
+         "gamma": 1.0, "reg_level": 1, "save_path": str(tmp_path)},
+        batch_size=16,
+    ).get_score(test)
+
+    scorer = OnlineScorer(model, params, W, K, gamma=1.0)
+    records = scorer.update_many(test)
+
+    assert len(records) == test.shape[0] - W
+    got_global = np.array([r["score"] for r in records])
+    np.testing.assert_allclose(
+        got_global, offline["A_Score_Global"].to_numpy(), atol=1e-5
+    )
+    for i in range(K):
+        np.testing.assert_allclose(
+            np.array([r["forecast"][i] for r in records]),
+            offline[f"Forecast_{i}"].to_numpy(), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.array([r["a_score"][i] for r in records]),
+            offline[f"A_Score_{i}"].to_numpy(), atol=1e-5,
+        )
+
+
+def test_online_target_dims(model_and_params):
+    cfg = MTADGATConfig(
+        n_features=K, window_size=W, out_dim=1, gru_hid_dim=16,
+        forecast_hid_dim=16, forecast_n_layers=1, recon_hid_dim=16,
+        recon_n_layers=1, dropout=0.0,
+    )
+    model = MTADGAT(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, W, K)))["params"]
+    _, test, _ = synthetic_series(n_train=60, n_test=40, n_features=K)
+    scorer = OnlineScorer(model, params, W, K, target_dims=[0])
+    records = scorer.update_many(test)
+    assert records and records[0]["a_score"].shape == (1,)
+
+
+def test_spot_step_replays_run():
+    rng = np.random.default_rng(0)
+    train = rng.standard_normal(500)
+    stream = rng.standard_normal(300)
+    stream[100:110] += 6.0
+
+    batch = SPOT(1e-3)
+    batch.fit(train, stream)
+    batch.initialize(level=0.98)
+    out = batch.run(with_alarm=True, dynamic=True)
+
+    inc = SPOT(1e-3)
+    inc.fit(train, np.empty(0))
+    inc.initialize(level=0.98)
+    alarms, ths = [], []
+    for i, x in enumerate(stream):
+        if inc.step(x, with_alarm=True):
+            alarms.append(i)
+        ths.append(inc.extreme_quantile)
+
+    assert alarms == out["alarms"]
+    np.testing.assert_allclose(ths, out["thresholds"])
+
+
+def test_online_end_to_end_alarm(model_and_params):
+    """Epsilon-armed streaming detection alarms inside an injected anomaly
+    segment and stays mostly quiet elsewhere."""
+    model, params = model_and_params
+    train, test, labels = synthetic_series(n_train=150, n_test=120, n_features=K)
+
+    scorer = OnlineScorer(model, params, W, K)
+    train_scores = np.array([r["score"] for r in scorer.update_many(train)])
+
+    scorer2 = OnlineScorer(model, params, W, K)
+    scorer2.fit_threshold(train_scores, method="epsilon", reg_level=1)
+    records = scorer2.update_many(test)
+    flags = np.array([r["is_anomaly"] for r in records])
+    seg = labels[W:].astype(bool)
+    assert flags[seg].any(), "no alarm inside the anomaly segment"
+
+    # spot mode runs too
+    scorer3 = OnlineScorer(model, params, W, K)
+    scorer3.fit_threshold(train_scores, method="spot", q=1e-3, level=0.95)
+    recs = scorer3.update_many(test)
+    assert all("threshold" in r for r in recs)
