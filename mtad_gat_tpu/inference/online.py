@@ -74,23 +74,36 @@ class OnlineScorer:
 
         self._seen = 0
         self._buffer = jnp.zeros((window_size, n_features), jnp.float32)
-        self._pending_forecast: Optional[np.ndarray] = None
+        # device-resident forecast-for-the-next-point (never fetched on its
+        # own: it is returned as part of the NEXT step's single fetch)
+        self._pending_forecast = jnp.zeros((self.out_dim,), jnp.float32)
         self._threshold_method: Optional[str] = None
         self._epsilon: Optional[float] = None
         self._spot: Optional[SPOT] = None
 
         model_apply = model.apply
+        dims = None if self.target_dims is None else jnp.asarray(self.target_dims)
+        gamma_c = float(gamma)
 
         @partial(jax.jit, donate_argnums=(1,))
-        def step(params, buffer, x):
+        def step(params, buffer, pending, x):
             # roll the ring buffer and run ONE forward on the window ending
             # at the new point: forecast of the NEXT point + recon of the
-            # newest point (prediction.py:55-63 semantics, streamed)
+            # newest point (prediction.py:55-63 semantics, streamed). The
+            # whole score is computed on-device so ONE host fetch per point
+            # retrieves everything (remote-attach round trips dominate
+            # serving latency, docs/PERFORMANCE.md).
             buffer = jnp.concatenate([buffer[1:], x[None, :]], axis=0)
             preds, recons = model_apply(
                 {"params": params}, buffer[None], deterministic=True
             )
-            return buffer, preds[0], recons[0, -1, :]
+            recon = recons[0, -1, :]
+            actual = x if dims is None else x[dims]
+            a_score = (
+                jnp.sqrt((pending - actual) ** 2)
+                + gamma_c * jnp.sqrt((recon - actual) ** 2)
+            )
+            return buffer, preds[0], (pending, recon, a_score, a_score.mean())
 
         self._step = step
 
@@ -122,27 +135,22 @@ class OnlineScorer:
     # ------------------------------------------------------------------
     def update(self, x: np.ndarray) -> Optional[Dict]:
         """Feed one observation (n_features,); returns the score record for
-        this timestep, or None while the window is still filling."""
+        this timestep, or None while the window is still filling. One jitted
+        dispatch + one host fetch per point."""
         x = jnp.asarray(np.asarray(x, np.float32).reshape(self.n_features))
-        self._buffer, forecast, recon_last = self._step(
-            self.params, self._buffer, x
+        scoreable = self._seen >= self.window  # pending forecast is armed
+        self._buffer, forecast, outs = self._step(
+            self.params, self._buffer, self._pending_forecast, x
         )
         self._seen += 1
 
         record = None
-        if self._pending_forecast is not None and self._seen > self.window:
-            actual = np.asarray(x)
-            if self.target_dims is not None:
-                actual = actual[self.target_dims]
-            recon = np.asarray(recon_last)
-            a_score = (
-                np.sqrt((self._pending_forecast - actual) ** 2)
-                + self.gamma * np.sqrt((recon - actual) ** 2)
-            )
-            global_score = float(a_score.mean())
+        if scoreable:
+            pending, recon, a_score, global_score = jax.device_get(outs)
+            global_score = float(global_score)
             record = {
                 "t": self._seen - 1,
-                "forecast": self._pending_forecast,
+                "forecast": pending,
                 "recon": recon,
                 "a_score": a_score,
                 "score": global_score,
@@ -155,9 +163,8 @@ class OnlineScorer:
                 record["threshold"] = float(self._spot.extreme_quantile)
 
         # forecast emitted by the window ending at this point predicts the
-        # NEXT point; hold it until that point arrives
-        if self._seen >= self.window:
-            self._pending_forecast = np.asarray(forecast)
+        # NEXT point; hold it ON DEVICE until that point arrives
+        self._pending_forecast = forecast
         return record
 
     def update_many(self, xs: np.ndarray) -> list:

@@ -348,3 +348,43 @@ def test_profile_dir_device_trace_on_hardware(tmp_path):
         if ev.get("ph") == "M" and ev.get("name") == "process_name"
     }
     assert any("TPU" in p for p in procs), f"no TPU device plane in {procs}"
+
+
+def test_online_scorer_streaming_on_hardware():
+    """Streaming serving path on the real chip: per-point updates produce
+    records, and median per-point latency is printed for PERFORMANCE.md
+    (remote-attach dispatch dominates; locally-attached serving is faster)."""
+    import time
+
+    from mtad_gat_tpu.config import MTADGATConfig
+    from mtad_gat_tpu.inference import OnlineScorer
+    from mtad_gat_tpu.models import MTADGAT
+
+    K, W = 38, 100
+    cfg = MTADGATConfig(
+        n_features=K, window_size=W, out_dim=K, kernel_size=7,
+        gru_hid_dim=150, forecast_hid_dim=150, forecast_n_layers=3,
+        recon_hid_dim=150, recon_n_layers=1, dropout=0.3,
+    )
+    model = MTADGAT(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, W, K))
+    )["params"]
+    scorer = OnlineScorer(model, params, W, K)
+    rng = np.random.default_rng(0)
+    stream = rng.standard_normal((W + 40, K)).astype(np.float32)
+
+    # warm up (fills window + compiles the step)
+    records = scorer.update_many(stream[: W + 5])
+    assert len(records) == 5
+
+    lat = []
+    for x in stream[W + 5:]:
+        t0 = time.perf_counter()
+        rec = scorer.update(x)
+        lat.append(time.perf_counter() - t0)
+        assert rec is not None and np.isfinite(rec["score"])
+    med = sorted(lat)[len(lat) // 2]
+    print(f"\nonline per-point latency (flagship shape, remote attach): "
+          f"median {med * 1e3:.2f} ms, p90 {sorted(lat)[int(len(lat)*0.9)] * 1e3:.2f} ms")
+    assert med < 1.0  # sanity: streaming is interactive even over the tunnel
