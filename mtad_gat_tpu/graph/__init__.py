@@ -15,6 +15,7 @@ from mtad_gat_tpu.graph.ops import (
     gatv2_scores_coo,
     gatv1_scores_coo,
     gat_aggregate_coo,
+    gatv2_banded_attention,
 )
 
 __all__ = [
@@ -34,4 +35,5 @@ __all__ = [
     "gatv2_scores_coo",
     "gatv1_scores_coo",
     "gat_aggregate_coo",
+    "gatv2_banded_attention",
 ]

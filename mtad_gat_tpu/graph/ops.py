@@ -87,6 +87,69 @@ def gat_aggregate_dense(
 
 
 # ---------------------------------------------------------------------------
+# Banded-dense path (TPU-native banded topology)
+# ---------------------------------------------------------------------------
+#
+# COO gathers cost ~40x per edge vs the dense fused broadcast on TPU
+# (measured, docs/PERFORMANCE.md), so a banded graph computed via COO only
+# breaks even at huge N. The banded-dense layout instead stores scores as
+# (b, N, 2W+1) — one column per diagonal offset — built from jnp.roll of the
+# key-side projection: fully regular memory access, no gathers, O(N·W) work.
+# Exactly equal to masked-dense (and thus to the COO path) on the banded
+# edge set; the model's temporal band:W spec routes here under the default
+# attention_impl="dense".
+
+
+def gatv2_banded_attention(
+    p: jax.Array,       # (b, N, e) query-side projection
+    q: jax.Array,       # (b, N, e) key-side projection (+ lin bias)
+    a: jax.Array,       # (e,)
+    bias: Optional[jax.Array],  # (N, N) learnable score bias, or None
+    v: jax.Array,       # (b, N, d)
+    alpha: float,
+    bandwidth: int,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Banded GATv2 attention: node i attends to j with |i-j| <= bandwidth.
+    Scores/softmax/aggregation all in the (b, N, 2W+1) diagonal layout."""
+    n = p.shape[1]
+    offsets = range(-bandwidth, bandwidth + 1)
+
+    cols = []
+    for o in offsets:
+        # q_o[i] = q[i + o] (roll wraps; wrapped entries are masked below)
+        qo = jnp.roll(q, -o, axis=1)
+        z = jax.nn.leaky_relu(p + qo, negative_slope=alpha)
+        cols.append(
+            jnp.einsum("bne,e->bn", z, a, preferred_element_type=jnp.float32)
+        )
+    scores = jnp.stack(cols, axis=-1)                      # (b, N, 2W+1)
+
+    i = jnp.arange(n)[:, None]
+    o = jnp.arange(-bandwidth, bandwidth + 1)[None, :]
+    j = i + o
+    valid = (j >= 0) & (j < n)                             # (N, 2W+1)
+    if bias is not None:
+        # only the band of the (N, N) bias is read — (N, 2W+1) values
+        band_bias = bias[i, jnp.clip(j, 0, n - 1)]
+        scores = scores + band_bias[None]
+    scores = jnp.where(valid[None], scores, -jnp.inf)
+
+    att = jax.nn.softmax(scores, axis=-1)                  # (b, N, 2W+1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, att.shape)
+        att = jnp.where(keep, att / (1.0 - dropout_rate), 0.0)
+
+    out = jnp.zeros(v.shape, jnp.float32)
+    for idx, off in enumerate(offsets):
+        vo = jnp.roll(v, -off, axis=1).astype(jnp.float32)
+        # invalid offsets carry att == 0 (softmax of -inf), killing wraps
+        out = out + att[:, :, idx : idx + 1] * vo
+    return jax.nn.sigmoid(out).astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Sparse (COO) path
 # ---------------------------------------------------------------------------
 

@@ -36,6 +36,7 @@ from mtad_gat_tpu.graph import (
     gat_aggregate_dense,
     gatv1_scores_coo,
     gatv1_scores_dense,
+    gatv2_banded_attention,
     gatv2_scores_coo,
     gatv2_scores_dense,
     graph_from_edges,
@@ -67,6 +68,11 @@ class _GATCore(nn.Module):
     # (graph/ops.py) — the complete graph is just the edges=None special
     # case (SURVEY.md §7 north star).
     edges: Optional[Tuple[Tuple[int, ...], Tuple[int, ...]]] = None
+    # Banded topology (|i-j| <= band): under impl="dense" with GATv2 this
+    # routes to the gather-free banded-dense layout (O(N·band) work, rolls
+    # instead of COO gathers — docs/PERFORMANCE.md measures COO gathers at
+    # ~40x per-edge cost). impl="sparse" keeps the COO oracle path.
+    band: Optional[int] = None
 
     @nn.compact
     def __call__(self, v: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -114,6 +120,12 @@ class _GATCore(nn.Module):
             # lin([v_i || v_j]) == v_i @ K_left + v_j @ K_right + b
             p = v @ kernel[:d].astype(cd)                       # query side (i)
             q = v @ kernel[d:].astype(cd) + lin_bias.astype(cd)  # key side (j)
+            if self.band is not None and self.impl == "dense":
+                return gatv2_banded_attention(
+                    p, q, a_flat, bias, v, self.alpha, self.band,
+                    dropout_rate=self.dropout if dropout_rng is not None else 0.0,
+                    dropout_rng=dropout_rng,
+                ).astype(cd)
             if graph is not None:
                 scores = gatv2_scores_coo(graph, p, q, a_flat, self.alpha)
                 return gat_aggregate_coo(
@@ -230,8 +242,13 @@ class TemporalAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         kind, param = parse_graph_spec(self.graph_spec)
+        band = param if kind == "band" else None
+        # COO edge list needed only when the banded-dense fast path does not
+        # apply (GATv1, or impl="sparse" as the oracle path)
         edges = (
-            banded_edges(self.window_size, param) if kind == "band" else None
+            banded_edges(self.window_size, param)
+            if kind == "band" and not (self.use_gatv2 and self.impl == "dense")
+            else None
         )
         e = self.embed_dim if self.embed_dim is not None else self.n_features
         if self.use_gatv2:
@@ -247,5 +264,6 @@ class TemporalAttention(nn.Module):
             impl=self.impl,
             compute_dtype=self.compute_dtype,
             edges=edges,
+            band=band,
             name="core",
         )(x, deterministic=deterministic)

@@ -327,3 +327,46 @@ def test_sparse_graph_cli_end_to_end(tmp_path):
     assert mc.feature_edges == tuple(
         (tuple(saved["feature_edges"][0]), tuple(saved["feature_edges"][1]))
     )
+
+
+def test_banded_dense_attention_matches_coo_and_oracle():
+    """The gather-free banded-dense layout (rolls over diagonal offsets) must
+    equal both the COO path and the masked-dense oracle on the banded edge
+    set, with and without the learnable bias."""
+    from mtad_gat_tpu.graph import (
+        banded_graph,
+        gat_aggregate_coo,
+        gatv2_banded_attention,
+        gatv2_scores_coo,
+    )
+
+    n, e, d, b, w = 20, 16, 8, 3, 4
+    rng = np.random.default_rng(5)
+    p = jnp.asarray(rng.standard_normal((b, n, e)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, n, e)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal(e), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    g = banded_graph(n, w)
+
+    for bb in (None, bias):
+        got = gatv2_banded_attention(p, q, a, bb, v, 0.2, w)
+        scores = gatv2_scores_coo(g, p, q, a, 0.2)
+        want = gat_aggregate_coo(g, scores, v, bb)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5,
+            err_msg=f"bias={'yes' if bb is not None else 'no'}",
+        )
+
+
+def test_banded_model_dense_impl_matches_sparse_impl():
+    """Full model: temporal band:3 under impl='dense' (banded-dense fast
+    path) equals impl='sparse' (COO oracle path) at identical params."""
+    model_d, params = _model(temporal_graph="band:3", impl="dense")
+    model_s, _ = _model(temporal_graph="band:3", impl="sparse")
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, W, K)), jnp.float32)
+    pd_, rd = model_d.apply({"params": params}, x, deterministic=True)
+    ps, rs = model_s.apply({"params": params}, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(pd_), np.asarray(ps), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(rs), atol=2e-5)
