@@ -87,6 +87,12 @@ def get_parser() -> argparse.ArgumentParser:
                         help="temporal-GAT topology: 'complete' (reference "
                              "semantics) or 'band:W' (timestamps within "
                              "+/-W steps)")
+    parser.add_argument("--bias_storage", type=str, default="full",
+                        choices=["full", "band"],
+                        help="temporal score-bias parameter storage: 'full' "
+                             "(N,N) reference-style matrix, or 'band' (N,2W+1) "
+                             "diagonal band of a band:W temporal graph — "
+                             "O(N*W) memory, required for long lookbacks")
     parser.add_argument("--data_root", type=str, default="datasets")
     parser.add_argument("--output_root", type=str, default="output")
 

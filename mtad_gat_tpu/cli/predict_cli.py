@@ -114,10 +114,20 @@ def main() -> None:
         "reg_level": reg_level,
         "save_path": model_path,
     }
+    # Multi-chip scoring: --mesh_devices reaches standalone predict the same
+    # way it reaches training (scoring scan sharded via GSPMD anchors)
+    mesh = None
+    if getattr(args, "mesh_devices", 0):
+        from mtad_gat_tpu.parallel import make_mesh
+
+        n = None if args.mesh_devices < 0 else args.mesh_devices
+        mesh = make_mesh(n, model_parallel=args.model_parallel or None)
+        print(f"Scoring mesh: {dict(mesh.shape)}")
+
     predictor = Predictor(
         trainer.model, trainer.state.params, window_size, n_features,
         prediction_args, summary_file_name=summary_name, batch_size=cfg.bs,
-        data_root=args.data_root,
+        data_root=args.data_root, mesh=mesh,
     )
     label = y_test[window_size:] if y_test is not None else None
     predictor.predict_anomalies(

@@ -131,6 +131,7 @@ def run_sweep_batched(cfg: RunConfig, groups: Optional[List[str]] = None) -> Dic
         results[group] = run_prediction(
             trainer.model, params, cfg, "SMD", group, target_dims,
             n_features, save_path, x_train, x_test, y_test,
+            mesh=mesh,
         )
         entity_cfg = RunConfig.from_dict({**cfg.__dict__, "group": group})
         entity_cfg.save(os.path.join(save_path, "config.txt"))
@@ -178,7 +179,11 @@ def main() -> None:
     parser.add_argument("--batched", action="store_true",
                         help="train ALL entities simultaneously in one vmapped "
                              "step (multi-entity batched training) instead of "
-                             "sequentially")
+                             "sequentially. NOTE: with --feature_graph knn:K "
+                             "the fleet shares ONE graph resolved from the "
+                             "concatenated train series of all entities, "
+                             "whereas the sequential sweep builds a per-entity "
+                             "graph — same flags, different topology")
     args = parser.parse_args()
     cfg = to_run_config(args)
     groups = [g for g in args.groups.split(",") if g] or None

@@ -28,6 +28,7 @@ def run_prediction(
     model, params, cfg: RunConfig, dataset: str, group: str, target_dims,
     n_features: int, save_path: str, x_train, x_test, y_test,
     summary_file_name: str = "summary.txt",
+    mesh=None,
 ):
     """Per-dataset POT/epsilon param lookup + Predictor + predict_anomalies
     (reference train.py:126-167) — shared by the train pipeline and both
@@ -48,7 +49,7 @@ def run_prediction(
             "save_path": save_path,
         },
         summary_file_name=summary_file_name,
-        batch_size=cfg.bs, data_root=cfg.data_root,
+        batch_size=cfg.bs, data_root=cfg.data_root, mesh=mesh,
     )
     label = y_test[cfg.lookback:] if y_test is not None else None
     return predictor.predict_anomalies(x_train, x_test, label)
@@ -167,6 +168,7 @@ def run_training(
     run_prediction(
         trainer.model, trainer.state.params, cfg, dataset, cfg.group,
         target_dims, n_features, save_path, x_train, x_test, y_test,
+        mesh=mesh,
     )
 
     cfg.save(os.path.join(save_path, "config.txt"))

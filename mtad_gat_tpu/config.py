@@ -71,6 +71,13 @@ class MTADGATConfig:
     # (from graph.knn_edges_from_series); JSON round-trips as nested lists,
     # normalized back to hashable tuples here.
     feature_edges: Optional[Tuple[Tuple[int, ...], Tuple[int, ...]]] = None
+    # Temporal-GAT score-bias parameter storage. "full" keeps the reference's
+    # (N, N) learnable matrix (modules.py:160-161) — param tree identical
+    # across topologies. "band" stores only the (N, 2W+1) diagonal band of a
+    # band:W temporal graph: O(N·W) parameter + optimizer state instead of
+    # O(N²), which is what makes lookback 4096/8192 trainable (a full bias at
+    # N=8192 alone is 256 MB of params + 512 MB of Adam state).
+    bias_storage: str = "full"
 
     def __post_init__(self):
         # a typo'd impl would otherwise silently fall through to "dense"
@@ -113,6 +120,15 @@ class MTADGATConfig:
                 "non-complete graph topologies run through the COO sparse "
                 "path; set attention_impl to 'dense' or 'sparse' "
                 f"(got {self.attention_impl!r})"
+            )
+        if self.bias_storage not in ("full", "band"):
+            raise ValueError(
+                f"bias_storage must be full|band, got {self.bias_storage!r}"
+            )
+        if self.bias_storage == "band" and tkind != "band":
+            raise ValueError(
+                "bias_storage='band' stores the banded temporal score bias; "
+                "it requires temporal_graph='band:W'"
             )
         if self.feature_edges is not None:
             src, dst = self.feature_edges
@@ -229,6 +245,7 @@ class RunConfig:
     feature_graph: str = "complete"
     temporal_graph: str = "complete"
     feature_edges: Optional[List[List[int]]] = None
+    bias_storage: str = "full"
 
     # --- Multi-chip / multi-host extensions (SURVEY.md §2.7) ---
     # mesh_devices: 0 = single-device (no mesh), -1 = all devices, N = first N
@@ -271,6 +288,7 @@ class RunConfig:
                 None if self.feature_edges is None
                 else (tuple(self.feature_edges[0]), tuple(self.feature_edges[1]))
             ),
+            bias_storage=self.bias_storage,
         )
 
     def train_config(self) -> TrainConfig:

@@ -98,42 +98,74 @@ def gat_aggregate_dense(
 # Exactly equal to masked-dense (and thus to the COO path) on the banded
 # edge set; the model's temporal band:W spec routes here under the default
 # attention_impl="dense".
+#
+# Two implementations of the same math:
+#
+# - **unrolled** (``gatv2_banded_attention`` / ``gatv1_banded_attention``):
+#   a Python loop of 2W+1 static rolls. Fastest at small W (everything fuses
+#   into one kernel), but HLO size is O(W) — compile time grows ~4x from
+#   W=10 to W=128 (measured).
+# - **scan** (``banded_attention_scan``): ``lax.scan`` over *block*-diagonal
+#   offsets with flash-attention-style online softmax. Program size is O(1)
+#   in W; per-step work is a (B,B) dense attention block pair, so the
+#   aggregation rides the MXU. This is the long-window path (band:256 at
+#   lookback 8192 compiles in seconds).
+#
+# The layer dispatches on W (``BAND_UNROLL_CUTOFF``); both are parity-pinned
+# against the masked-dense oracle and each other (tests/test_model_graphs.py).
+
+# Above this bandwidth the unrolled banded path's O(W) program size starts to
+# dominate compile time; the scan path takes over (nn/gat.py dispatch).
+BAND_UNROLL_CUTOFF = 32
 
 
-def gatv2_banded_attention(
-    p: jax.Array,       # (b, N, e) query-side projection
-    q: jax.Array,       # (b, N, e) key-side projection (+ lin bias)
-    a: jax.Array,       # (e,)
-    bias: Optional[jax.Array],  # (N, N) learnable score bias, or None
-    v: jax.Array,       # (b, N, d)
-    alpha: float,
-    bandwidth: int,
-    dropout_rate: float = 0.0,
-    dropout_rng: Optional[jax.Array] = None,
+def _banded_bias_cols(
+    bias: jax.Array, n: int, bandwidth: int, bias_storage: str
 ) -> jax.Array:
-    """Banded GATv2 attention: node i attends to j with |i-j| <= bandwidth.
-    Scores/softmax/aggregation all in the (b, N, 2W+1) diagonal layout."""
-    n = p.shape[1]
-    offsets = range(-bandwidth, bandwidth + 1)
+    """(N, 2W+1) diagonal-layout view of the score bias.
 
-    cols = []
-    for o in offsets:
-        # q_o[i] = q[i + o] (roll wraps; wrapped entries are masked below)
-        qo = jnp.roll(q, -o, axis=1)
-        z = jax.nn.leaky_relu(p + qo, negative_slope=alpha)
-        cols.append(
-            jnp.einsum("bne,e->bn", z, a, preferred_element_type=jnp.float32)
-        )
-    scores = jnp.stack(cols, axis=-1)                      # (b, N, 2W+1)
+    ``bias_storage="full"``: gather the band out of the reference-style (N, N)
+    matrix. ``"band"``: the parameter already lives in diagonal layout
+    (column w = offset j-i+W) — the O(N·W) storage the long-window config
+    uses instead of an O(N²) parameter."""
+    if bias_storage == "band":
+        return bias
+    i = jnp.arange(n)[:, None]
+    j = i + jnp.arange(-bandwidth, bandwidth + 1)[None, :]
+    return bias[i, jnp.clip(j, 0, n - 1)]
 
+
+def banded_bias_to_full(bias_band: jax.Array, n: int, bandwidth: int) -> jax.Array:
+    """Expand (N, 2W+1) banded bias storage to the dense (N, N) matrix
+    (off-band entries zero). Used by the COO oracle path and checkpoints
+    that need the dense view; O(N²) — small-N/test use only."""
     i = jnp.arange(n)[:, None]
     o = jnp.arange(-bandwidth, bandwidth + 1)[None, :]
     j = i + o
-    valid = (j >= 0) & (j < n)                             # (N, 2W+1)
+    valid = (j >= 0) & (j < n)
+    full = jnp.zeros((n, n), bias_band.dtype)
+    return full.at[i, jnp.clip(j, 0, n - 1)].add(
+        jnp.where(valid, bias_band, 0.0)
+    )
+
+
+def _banded_finish(
+    scores: jax.Array,          # (b, N, 2W+1) raw diagonal-layout scores
+    bias: Optional[jax.Array],
+    v: jax.Array,               # (b, N, d)
+    bandwidth: int,
+    bias_storage: str,
+    dropout_rate: float,
+    dropout_rng: Optional[jax.Array],
+) -> jax.Array:
+    """Shared tail of the unrolled banded paths: mask wraps, add bias,
+    softmax over the band, dropout, diagonal-layout aggregation, sigmoid."""
+    n = v.shape[1]
+    i = jnp.arange(n)[:, None]
+    o = jnp.arange(-bandwidth, bandwidth + 1)[None, :]
+    valid = ((i + o) >= 0) & ((i + o) < n)                 # (N, 2W+1)
     if bias is not None:
-        # only the band of the (N, N) bias is read — (N, 2W+1) values
-        band_bias = bias[i, jnp.clip(j, 0, n - 1)]
-        scores = scores + band_bias[None]
+        scores = scores + _banded_bias_cols(bias, n, bandwidth, bias_storage)[None]
     scores = jnp.where(valid[None], scores, -jnp.inf)
 
     att = jax.nn.softmax(scores, axis=-1)                  # (b, N, 2W+1)
@@ -142,10 +174,209 @@ def gatv2_banded_attention(
         att = jnp.where(keep, att / (1.0 - dropout_rate), 0.0)
 
     out = jnp.zeros(v.shape, jnp.float32)
-    for idx, off in enumerate(offsets):
+    for idx, off in enumerate(range(-bandwidth, bandwidth + 1)):
         vo = jnp.roll(v, -off, axis=1).astype(jnp.float32)
         # invalid offsets carry att == 0 (softmax of -inf), killing wraps
         out = out + att[:, :, idx : idx + 1] * vo
+    return jax.nn.sigmoid(out).astype(v.dtype)
+
+
+def gatv2_banded_attention(
+    p: jax.Array,       # (b, N, e) query-side projection
+    q: jax.Array,       # (b, N, e) key-side projection (+ lin bias)
+    a: jax.Array,       # (e,)
+    bias: Optional[jax.Array],  # (N, N) or (N, 2W+1) score bias, or None
+    v: jax.Array,       # (b, N, d)
+    alpha: float,
+    bandwidth: int,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    bias_storage: str = "full",
+) -> jax.Array:
+    """Banded GATv2 attention: node i attends to j with |i-j| <= bandwidth.
+    Scores/softmax/aggregation all in the (b, N, 2W+1) diagonal layout.
+    Unrolled over offsets — small-W path (see ``banded_attention_scan``)."""
+    cols = []
+    for o in range(-bandwidth, bandwidth + 1):
+        # q_o[i] = q[i + o] (roll wraps; wrapped entries are masked below)
+        qo = jnp.roll(q, -o, axis=1)
+        z = jax.nn.leaky_relu(p + qo, negative_slope=alpha)
+        cols.append(
+            jnp.einsum("bne,e->bn", z, a, preferred_element_type=jnp.float32)
+        )
+    scores = jnp.stack(cols, axis=-1)                      # (b, N, 2W+1)
+    return _banded_finish(
+        scores, bias, v, bandwidth, bias_storage, dropout_rate, dropout_rng
+    )
+
+
+def gatv1_banded_attention(
+    u: jax.Array,       # (b, N) query-side rank-1 score half (Wx . a_left)
+    w: jax.Array,       # (b, N) key-side rank-1 score half (Wx . a_right)
+    bias: Optional[jax.Array],
+    v: jax.Array,       # (b, N, d)
+    alpha: float,
+    bandwidth: int,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    bias_storage: str = "full",
+) -> jax.Array:
+    """Banded GATv1 attention. GATv1 scores are rank-1
+    (e_ij = leakyrelu(u_i + w_j), reference ``modules.py:80-83``), so the
+    diagonal layout is a direct roll of the key half — even cheaper than the
+    GATv2 version (no per-offset einsum)."""
+    u = u.astype(jnp.float32)
+    w = w.astype(jnp.float32)
+    cols = [
+        jax.nn.leaky_relu(u + jnp.roll(w, -o, axis=1), negative_slope=alpha)
+        for o in range(-bandwidth, bandwidth + 1)
+    ]
+    scores = jnp.stack(cols, axis=-1)                      # (b, N, 2W+1)
+    return _banded_finish(
+        scores, bias, v, bandwidth, bias_storage, dropout_rate, dropout_rng
+    )
+
+
+def banded_attention_scan(
+    p: jax.Array,       # GATv2: (b, N, e) query proj; GATv1: (b, N) u half
+    q: jax.Array,       # GATv2: (b, N, e) key proj;   GATv1: (b, N) w half
+    a: Optional[jax.Array],  # GATv2: (e,) attention vector; GATv1: None
+    bias: Optional[jax.Array],  # (N, N) or (N, 2W+1), per bias_storage
+    v: jax.Array,       # (b, N, d)
+    alpha: float,
+    bandwidth: int,
+    block_size: int = 0,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    bias_storage: str = "full",
+) -> jax.Array:
+    """W-scalable banded attention: ``lax.scan`` over block-diagonal offsets
+    with flash-attention-style online softmax (running max / denominator /
+    weighted accumulator, Milakov & Gimelshein 2018).
+
+    The sequence is split into M blocks of B nodes; scan step d computes the
+    dense (B, B) attention between each block m and block m+d — a batched
+    matmul that rides the MXU — and folds it into the running softmax.
+    Program size is O(1) in W (one traced step), work is O(N·(W+B)·e), and
+    no O(N²) tensor ever exists. This is the long-window path the unrolled
+    variant (O(W) HLO ops) cannot serve; math is identical (parity-pinned).
+
+    Dropout draws a fresh fold of ``dropout_rng`` per scan step, so masks
+    differ from the unrolled path's single draw — same rate, different
+    stream (both are valid reference semantics: dropout on attention
+    weights, ``modules.py:90``).
+    """
+    gatv2 = a is not None
+    b, n = v.shape[0], v.shape[1]
+    dv = v.shape[2]
+    if block_size <= 0:
+        block_size = 128
+    B = min(block_size, -(-n // 8) * 8)    # never larger than padded N
+    M = -(-n // B)
+    Np = M * B
+    pad = Np - n
+
+    def padn(x):
+        if pad == 0:
+            return x
+        cfg = [(0, 0)] * x.ndim
+        cfg[1] = (0, pad)
+        return jnp.pad(x, cfg)
+
+    if gatv2:
+        pB = padn(p).reshape(b, M, B, -1)
+        qB = padn(q).reshape(b, M, B, -1)
+    else:
+        pB = padn(p.astype(jnp.float32)).reshape(b, M, B)
+        qB = padn(q.astype(jnp.float32)).reshape(b, M, B)
+    vB = padn(v).astype(jnp.float32).reshape(b, M, B, dv)
+
+    # block-offset range covering the band (clamped: |i-j| < N always)
+    D = min(-(-bandwidth // B), M)
+    steps = 2 * D + 1
+    offs = jnp.arange(-D, D + 1)
+
+    mi = jnp.arange(M) * B                          # block start rows
+    li = jnp.arange(B)
+    gi = mi[:, None] + li[None, :]                  # (M, B) global i
+    gi_c = jnp.clip(gi, 0, n - 1)
+    # local offset within a block pair is constant across m
+    loff = li[None, :] - li[:, None]                # (B, B) = lj - li
+
+    has_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    if has_dropout:
+        xs = (offs, jax.random.split(dropout_rng, steps))
+    else:
+        xs = (offs,)
+
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def step(carry, x):
+        m_run, denom, acc = carry
+        if has_dropout:
+            d, rng_d = x
+        else:
+            (d,) = x
+        qd = jnp.roll(qB, -d, axis=1)
+        vd = jnp.roll(vB, -d, axis=1)
+        gj = gi + d * B                              # (M, B) global j
+        off = d * B + loff                           # (B, B) global j - i
+        valid = (
+            (jnp.abs(off)[None] <= bandwidth)
+            & (gj[:, None, :] >= 0) & (gj[:, None, :] < n)
+            & (gi[:, :, None] < n)
+        )                                            # (M, B, B)
+
+        if gatv2:
+            z = jax.nn.leaky_relu(
+                pB[:, :, :, None, :] + qd[:, :, None, :, :],
+                negative_slope=alpha,
+            )
+            s = jnp.einsum(
+                "bmije,e->bmij", z, a, preferred_element_type=jnp.float32
+            )
+        else:
+            s = jax.nn.leaky_relu(
+                pB[:, :, :, None] + qd[:, :, None, :], negative_slope=alpha
+            )
+
+        if bias is not None:
+            if bias_storage == "band":
+                cols = jnp.clip(off + bandwidth, 0, 2 * bandwidth)  # (B, B)
+                bb = jnp.take_along_axis(
+                    bias[gi_c], jnp.broadcast_to(cols, (M, B, B)), axis=2
+                )
+            else:
+                gj_c = jnp.clip(gj, 0, n - 1)
+                bb = bias[gi_c[:, :, None], gj_c[:, None, :]]
+            s = s + bb[None]
+
+        # online softmax update; fully-masked rows stay at m = -inf, denom 0
+        blk_max = jnp.max(jnp.where(valid[None], s, neg_inf), axis=-1)
+        m_new = jnp.maximum(m_run, blk_max)
+        safe_m = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        scale = jnp.where(jnp.isfinite(m_run), jnp.exp(m_run - safe_m), 0.0)
+        wgt = jnp.where(valid[None], jnp.exp(s - safe_m[..., None]), 0.0)
+        denom = denom * scale + wgt.sum(axis=-1)
+        wk = wgt
+        if has_dropout:
+            keep = jax.random.bernoulli(rng_d, 1.0 - dropout_rate, wgt.shape)
+            # reference semantics: dropout on normalized weights — numerator
+            # only; the denominator keeps every (non-masked) edge
+            wk = jnp.where(keep, wgt / (1.0 - dropout_rate), 0.0)
+        acc = acc * scale[..., None] + jnp.einsum(
+            "bmij,bmjd->bmid", wk, vd, preferred_element_type=jnp.float32
+        )
+        return (m_new, denom, acc), None
+
+    carry0 = (
+        jnp.full((b, M, B), neg_inf),
+        jnp.zeros((b, M, B), jnp.float32),
+        jnp.zeros((b, M, B, dv), jnp.float32),
+    )
+    (_, denom, acc), _ = jax.lax.scan(step, carry0, xs)
+    out = acc / jnp.where(denom > 0, denom, 1.0)[..., None]
+    out = out.reshape(b, Np, dv)[:, :n]
     return jax.nn.sigmoid(out).astype(v.dtype)
 
 

@@ -59,6 +59,7 @@ class Predictor:
         batch_size: int = 256,
         data_root: str = "datasets",
         smoothing_base: int = 256,
+        mesh=None,
     ):
         self.model = model
         self.params = params
@@ -78,6 +79,7 @@ class Predictor:
         self.summary_file_name = summary_file_name
         self.data_root = data_root
         self.smoothing_base = smoothing_base
+        self.mesh = mesh  # optional jax.sharding.Mesh: multi-chip scoring
 
         model_apply = model.apply
 
@@ -93,7 +95,20 @@ class Predictor:
             _, (preds, recon_last) = jax.lax.scan(step, None, (starts, mask))
             return preds, recon_last
 
-        self._score_scan = score_scan
+        # Mesh-aware scoring (mirrors Trainer._build_steps wrapping,
+        # training/trainer.py): entering the mesh context at call time turns
+        # the model's constrain() hints into GSPMD anchors, so the scoring
+        # scan shards over the data/model axes like the train step instead of
+        # funnelling the whole fleet's predict phase through one chip.
+        def run_score(params, series, starts, mask):
+            from mtad_gat_tpu.parallel import multihost
+            from mtad_gat_tpu.parallel.sharding import use_mesh
+
+            starts, mask = multihost.epoch_arrays(self.mesh, starts, mask)
+            with use_mesh(self.mesh):
+                return score_scan(params, series, starts, mask)
+
+        self._score_scan = run_score
 
     # ------------------------------------------------------------------
     def get_score(self, values: np.ndarray) -> pd.DataFrame:

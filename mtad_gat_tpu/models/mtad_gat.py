@@ -67,7 +67,7 @@ class MTADGAT(nn.Module):
             n_features=c.n_features, window_size=c.window_size,
             dropout=c.dropout, alpha=c.alpha, embed_dim=c.time_gat_embed_dim,
             use_gatv2=c.use_gatv2, impl=c.attention_impl, compute_dtype=cd,
-            graph_spec=c.temporal_graph,
+            graph_spec=c.temporal_graph, bias_storage=c.bias_storage,
             name="temporal_gat",
         )(x, deterministic)
 

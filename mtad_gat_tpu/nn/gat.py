@@ -30,10 +30,14 @@ import jax
 import jax.numpy as jnp
 
 from mtad_gat_tpu.graph import (
+    BAND_UNROLL_CUTOFF,
+    banded_attention_scan,
+    banded_bias_to_full,
     banded_edges,
     complete_graph,
     gat_aggregate_coo,
     gat_aggregate_dense,
+    gatv1_banded_attention,
     gatv1_scores_coo,
     gatv1_scores_dense,
     gatv2_banded_attention,
@@ -68,11 +72,18 @@ class _GATCore(nn.Module):
     # (graph/ops.py) — the complete graph is just the edges=None special
     # case (SURVEY.md §7 north star).
     edges: Optional[Tuple[Tuple[int, ...], Tuple[int, ...]]] = None
-    # Banded topology (|i-j| <= band): under impl="dense" with GATv2 this
-    # routes to the gather-free banded-dense layout (O(N·band) work, rolls
-    # instead of COO gathers — docs/PERFORMANCE.md measures COO gathers at
-    # ~40x per-edge cost). impl="sparse" keeps the COO oracle path.
+    # Banded topology (|i-j| <= band): under impl="dense" this routes to the
+    # gather-free banded-dense layout (O(N·band) work, rolls instead of COO
+    # gathers — docs/PERFORMANCE.md measures COO gathers at ~40x per-edge
+    # cost): unrolled diagonal columns for band <= BAND_UNROLL_CUTOFF, the
+    # O(1)-program-size block scan (flash-style online softmax) above it.
+    # impl="sparse" keeps the COO oracle path.
     band: Optional[int] = None
+    # Score-bias parameter storage when band is set: "full" keeps the
+    # reference-style (N, N) matrix (param tree identical to the complete
+    # graph), "band" stores only the (N, 2*band+1) diagonal band — O(N·W)
+    # instead of O(N²), the long-window configuration.
+    bias_storage: str = "full"
 
     @nn.compact
     def __call__(self, v: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -94,11 +105,15 @@ class _GATCore(nn.Module):
         kernel = self.param("lin_kernel", torch_linear_kernel(lin_in), (lin_in, e))
         lin_bias = self.param("lin_bias", torch_linear_bias(lin_in), (e,))
         a = self.param("a", xavier_uniform_gain(1.414), (a_dim, 1))
-        bias = (
-            self.param("bias", nn.initializers.zeros, (self.n_nodes, self.n_nodes))
-            if self.use_bias
-            else None
-        )
+        bias = None
+        if self.use_bias:
+            if self.bias_storage == "band":
+                if self.band is None:
+                    raise ValueError("bias_storage='band' requires a banded topology")
+                bias_shape = (self.n_nodes, 2 * self.band + 1)
+            else:
+                bias_shape = (self.n_nodes, self.n_nodes)
+            bias = self.param("bias", nn.initializers.zeros, bias_shape)
 
         dropout_rng = None
         if not deterministic and self.dropout > 0.0:
@@ -116,20 +131,32 @@ class _GATCore(nn.Module):
         elif self.impl == "sparse":
             graph = complete_graph(self.n_nodes)
 
+        # COO paths gather bias[dst, src] from the dense matrix; expand
+        # banded storage to the dense view for them (oracle path, small N)
+        coo_bias = bias
+        if bias is not None and self.bias_storage == "band" and graph is not None:
+            coo_bias = banded_bias_to_full(bias, self.n_nodes, self.band)
+
         if self.use_gatv2:
             # lin([v_i || v_j]) == v_i @ K_left + v_j @ K_right + b
             p = v @ kernel[:d].astype(cd)                       # query side (i)
             q = v @ kernel[d:].astype(cd) + lin_bias.astype(cd)  # key side (j)
             if self.band is not None and self.impl == "dense":
-                return gatv2_banded_attention(
+                banded = (
+                    gatv2_banded_attention
+                    if self.band <= BAND_UNROLL_CUTOFF
+                    else banded_attention_scan
+                )
+                return banded(
                     p, q, a_flat, bias, v, self.alpha, self.band,
                     dropout_rate=self.dropout if dropout_rng is not None else 0.0,
                     dropout_rng=dropout_rng,
+                    bias_storage=self.bias_storage,
                 ).astype(cd)
             if graph is not None:
                 scores = gatv2_scores_coo(graph, p, q, a_flat, self.alpha)
                 return gat_aggregate_coo(
-                    graph, scores, v, bias,
+                    graph, scores, v, coo_bias,
                     self.dropout if dropout_rng is not None else 0.0,
                     dropout_rng,
                 ).astype(cd)
@@ -157,12 +184,34 @@ class _GATCore(nn.Module):
             scores = gatv2_scores_dense(p, q, a_flat, self.alpha)
         else:
             wx = v @ kernel.astype(cd) + lin_bias.astype(cd)     # (b, N, e)
+            if self.band is not None and self.impl == "dense":
+                # rank-1 GATv1 scores: precompute the two halves once
+                u = jnp.einsum(
+                    "bne,e->bn", wx, a_flat[:e],
+                    preferred_element_type=jnp.float32,
+                )
+                w = jnp.einsum(
+                    "bne,e->bn", wx, a_flat[e:],
+                    preferred_element_type=jnp.float32,
+                )
+                kw = dict(
+                    dropout_rate=self.dropout if dropout_rng is not None else 0.0,
+                    dropout_rng=dropout_rng,
+                    bias_storage=self.bias_storage,
+                )
+                if self.band <= BAND_UNROLL_CUTOFF:
+                    return gatv1_banded_attention(
+                        u, w, bias, v, self.alpha, self.band, **kw
+                    ).astype(cd)
+                return banded_attention_scan(
+                    u, w, None, bias, v, self.alpha, self.band, **kw
+                ).astype(cd)
             if graph is not None:
                 scores = gatv1_scores_coo(
                     graph, wx, a_flat[:e], a_flat[e:], self.alpha
                 )
                 return gat_aggregate_coo(
-                    graph, scores, v, bias,
+                    graph, scores, v, coo_bias,
                     self.dropout if dropout_rng is not None else 0.0,
                     dropout_rng,
                 ).astype(cd)
@@ -238,16 +287,17 @@ class TemporalAttention(nn.Module):
     impl: str = "dense"
     compute_dtype: jnp.dtype = jnp.float32
     graph_spec: str = "complete"   # "complete" | "band:W"
+    bias_storage: str = "full"     # "full" | "band" (O(N·W) bias param)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         kind, param = parse_graph_spec(self.graph_spec)
         band = param if kind == "band" else None
-        # COO edge list needed only when the banded-dense fast path does not
-        # apply (GATv1, or impl="sparse" as the oracle path)
+        # COO edge list needed only when the banded-dense fast paths do not
+        # apply (impl="sparse", the oracle path)
         edges = (
             banded_edges(self.window_size, param)
-            if kind == "band" and not (self.use_gatv2 and self.impl == "dense")
+            if kind == "band" and self.impl != "dense"
             else None
         )
         e = self.embed_dim if self.embed_dim is not None else self.n_features
@@ -265,5 +315,6 @@ class TemporalAttention(nn.Module):
             compute_dtype=self.compute_dtype,
             edges=edges,
             band=band,
+            bias_storage=self.bias_storage,
             name="core",
         )(x, deterministic=deterministic)

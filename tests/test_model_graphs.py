@@ -370,3 +370,182 @@ def test_banded_model_dense_impl_matches_sparse_impl():
     ps, rs = model_s.apply({"params": params}, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(pd_), np.asarray(ps), atol=2e-5)
     np.testing.assert_allclose(np.asarray(rd), np.asarray(rs), atol=2e-5)
+
+
+# ------------------------------------------- W-scalable banded paths (r4)
+
+def test_banded_scan_matches_coo_all_variants():
+    """The O(1)-program-size block-scan banded path (flash-style online
+    softmax over block diagonals) must equal the COO oracle for GATv2 and
+    GATv1, with full and banded bias storage, across block sizes that do and
+    don't divide N (VERDICT r3 item #1: the long-window formulation)."""
+    from mtad_gat_tpu.graph import (
+        banded_attention_scan,
+        banded_bias_to_full,
+        banded_graph,
+        gat_aggregate_coo,
+        gatv1_banded_attention,
+        gatv2_banded_attention,
+        gatv2_scores_coo,
+    )
+
+    n, e, d, b, w = 50, 12, 7, 2, 9
+    rng = np.random.default_rng(7)
+    p = jnp.asarray(rng.standard_normal((b, n, e)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, n, e)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal(e), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    g = banded_graph(n, w)
+
+    scores = gatv2_scores_coo(g, p, q, a, 0.2)
+    want = np.asarray(gat_aggregate_coo(g, scores, v, bias))
+    # banded storage holding the same values as `bias` on the band
+    i = np.arange(n)[:, None]
+    j = i + np.arange(-w, w + 1)[None, :]
+    valid = (j >= 0) & (j < n)
+    bias_band = jnp.asarray(
+        np.where(valid, np.asarray(bias)[i, np.clip(j, 0, n - 1)], 0.0),
+        jnp.float32,
+    )
+    np.testing.assert_allclose(  # storage round-trip
+        np.asarray(banded_bias_to_full(bias_band, n, w)),
+        np.where(np.abs(np.arange(n)[:, None] - np.arange(n)[None, :]) <= w,
+                 np.asarray(bias), 0.0),
+        atol=0,
+    )
+
+    for B in (8, 16, 128):
+        got = banded_attention_scan(p, q, a, bias, v, 0.2, w, block_size=B)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5,
+                                   err_msg=f"v2 full-bias B={B}")
+        got = banded_attention_scan(p, q, a, bias_band, v, 0.2, w,
+                                    block_size=B, bias_storage="band")
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5,
+                                   err_msg=f"v2 band-bias B={B}")
+    # unrolled path accepts banded storage too
+    got = gatv2_banded_attention(p, q, a, bias_band, v, 0.2, w,
+                                 bias_storage="band")
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    # GATv1: rank-1 scores
+    u1 = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+    sc1 = jax.nn.leaky_relu(u1[:, g.dst] + w1[:, g.src], negative_slope=0.2)
+    want1 = np.asarray(gat_aggregate_coo(g, sc1, v, bias))
+    got1 = gatv1_banded_attention(u1, w1, bias, v, 0.2, w)
+    np.testing.assert_allclose(np.asarray(got1), want1, atol=2e-5)
+    got1 = banded_attention_scan(u1, w1, None, bias, v, 0.2, w, block_size=16)
+    np.testing.assert_allclose(np.asarray(got1), want1, atol=2e-5)
+
+
+def test_banded_scan_band_wider_than_sequence():
+    """band:W with W >= N must degrade gracefully to complete attention in
+    both banded implementations (wrapped rolls / out-of-range blocks are
+    masked, never double-counted)."""
+    from mtad_gat_tpu.graph import (
+        banded_attention_scan,
+        complete_graph,
+        gat_aggregate_coo,
+        gatv2_banded_attention,
+        gatv2_scores_coo,
+    )
+
+    n, e, d, b = 11, 6, 5, 2
+    rng = np.random.default_rng(8)
+    p = jnp.asarray(rng.standard_normal((b, n, e)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, n, e)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal(e), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    g = complete_graph(n)
+    want = np.asarray(
+        gat_aggregate_coo(g, gatv2_scores_coo(g, p, q, a, 0.2), v, None)
+    )
+    for w in (n - 1, n, 3 * n):
+        got = gatv2_banded_attention(p, q, a, None, v, 0.2, w)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+        got = banded_attention_scan(p, q, a, None, v, 0.2, w, block_size=8)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+@pytest.mark.parametrize("use_gatv2", [True, False])
+def test_model_wide_band_routes_scan_and_matches_sparse(use_gatv2):
+    """Model-level: a band wider than BAND_UNROLL_CUTOFF routes to the scan
+    path (dense impl) and must match the COO oracle (sparse impl) — for both
+    GAT versions (GATv1 banded-dense is new in r4, VERDICT item #8)."""
+    from mtad_gat_tpu.graph import BAND_UNROLL_CUTOFF
+
+    cfg = dict(
+        n_features=K, window_size=48, out_dim=K, kernel_size=7,
+        gru_hid_dim=12, forecast_hid_dim=12, forecast_n_layers=1,
+        recon_hid_dim=12, recon_n_layers=1, dropout=0.0,
+        use_gatv2=use_gatv2,
+        temporal_graph=f"band:{BAND_UNROLL_CUTOFF + 3}",
+    )
+    model_d = MTADGAT(MTADGATConfig(**cfg, attention_impl="dense"))
+    params = model_d.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, K)))["params"]
+    model_s = MTADGAT(MTADGATConfig(**cfg, attention_impl="sparse"))
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 48, K)), jnp.float32)
+    # make the temporal bias non-zero so the bias path is actually exercised
+    params["temporal_gat"]["core"]["bias"] = jnp.asarray(
+        rng.standard_normal(params["temporal_gat"]["core"]["bias"].shape),
+        jnp.float32,
+    )
+    pd_, rd = model_d.apply({"params": params}, x, deterministic=True)
+    ps, rs = model_s.apply({"params": params}, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(pd_), np.asarray(ps), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(rs), atol=3e-5)
+
+
+def test_band_bias_storage_model_parity_and_shape():
+    """bias_storage='band': the temporal bias parameter is (N, 2W+1) instead
+    of (N, N) — O(N*W) params, the long-window configuration — and dense
+    (scan) vs sparse (COO, bias expanded) impls agree at identical params."""
+    w = 5
+    cfg = dict(
+        n_features=K, window_size=32, out_dim=K, kernel_size=7,
+        gru_hid_dim=12, forecast_hid_dim=12, forecast_n_layers=1,
+        recon_hid_dim=12, recon_n_layers=1, dropout=0.0,
+        temporal_graph=f"band:{w}", bias_storage="band",
+    )
+    model_d = MTADGAT(MTADGATConfig(**cfg, attention_impl="dense"))
+    params = model_d.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, K)))["params"]
+    assert params["temporal_gat"]["core"]["bias"].shape == (32, 2 * w + 1)
+    # feature-GAT bias is untouched (complete graph keeps (k, k))
+    assert params["feature_gat"]["core"]["bias"].shape == (K, K)
+
+    rng = np.random.default_rng(10)
+    params["temporal_gat"]["core"]["bias"] = jnp.asarray(
+        rng.standard_normal((32, 2 * w + 1)), jnp.float32
+    )
+    x = jnp.asarray(rng.standard_normal((2, 32, K)), jnp.float32)
+    model_s = MTADGAT(MTADGATConfig(**cfg, attention_impl="sparse"))
+    pd_, rd = model_d.apply({"params": params}, x, deterministic=True)
+    ps, rs = model_s.apply({"params": params}, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(pd_), np.asarray(ps), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(rs), atol=2e-5)
+
+    # trains: gradients flow through the scan path and banded bias
+    import optax
+
+    def loss_fn(p_):
+        preds, recons = model_d.apply(
+            {"params": p_}, x, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        return jnp.mean(preds ** 2) + jnp.mean(recons ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gb = grads["temporal_gat"]["core"]["bias"]
+    assert gb.shape == (32, 2 * w + 1)
+    assert np.isfinite(np.asarray(gb)).all()
+    assert float(jnp.abs(gb).sum()) > 0.0
+
+
+def test_bias_storage_config_validation():
+    with pytest.raises(ValueError, match="bias_storage"):
+        MTADGATConfig(n_features=K, window_size=W, bias_storage="band")
+    with pytest.raises(ValueError, match="full|band"):
+        MTADGATConfig(n_features=K, window_size=W, bias_storage="diag")
