@@ -169,6 +169,22 @@ def main() -> None:
         return
     tpu_wps = bench_tpu()
     f32_wps = bench_tpu_f32()
+    # long-window capability row (VERDICT r4): lookback 8192 with banded
+    # temporal attention — a regime the reference cannot enter at all (its
+    # (b,n,n,2k) attention tensor would be ~163 TB here)
+    long_row = None
+    try:
+        from bench_long import bench_config
+
+        r = bench_config(8192, 256, 8, 2, epochs=1)
+        long_row = {
+            "lookback": r["lookback"], "band": r["band"],
+            "windows_per_sec": r["value"],
+            "timesteps_per_sec": r["timesteps_per_sec"],
+            "peak_hbm_gib": r["peak_hbm_gib"],
+        }
+    except Exception as e:
+        print(f"long-window bench skipped: {e}", file=sys.stderr)
     ref_wps = REF_CPU_WPS
     if os.environ.get("BENCH_MEASURE_REF"):
         try:
@@ -184,6 +200,7 @@ def main() -> None:
         "unit": "windows/s",
         "vs_baseline": round(vs, 2),
         "dtype": "bfloat16",
+        "longwindow": long_row,
         "baseline": {
             "what": "reference torch on host CPU, bs 64",
             "windows_per_sec": ref_wps,

@@ -109,17 +109,27 @@ def run_sweep_batched(cfg: RunConfig, groups: Optional[List[str]] = None) -> Dic
         mesh = make_mesh(n, model_parallel=1)
         print(f"Batched sweep mesh: {dict(mesh.shape)} (entity axis over data)")
 
-    model_cfg = cfg.model_config(n_features, out_dim)
-    train_cfg = cfg.train_config()
-    trainer = MultiEntityTrainer(
-        model_cfg, train_cfg, target_dims=target_dims, mesh=mesh
-    )
-    print(f"Batched sweep: training {len(groups)} entities simultaneously")
-    trainer.fit(series_list)
-
     from datetime import datetime
 
     run_id = cfg.run_id or datetime.now().strftime("%d%m%Y_%H%M%S")
+    # fleet-level checkpoint directory: full stacked train state written
+    # every checkpoint_every epochs so a preempted sweep resumes via
+    # --auto_resume --run_id <id> instead of restarting 28 entities
+    fleet_dir = os.path.join(cfg.output_root, "SMD", "fleet", run_id)
+
+    model_cfg = cfg.model_config(n_features, out_dim)
+    train_cfg = cfg.train_config()
+    trainer = MultiEntityTrainer(
+        model_cfg, train_cfg, target_dims=target_dims, mesh=mesh,
+        save_path=fleet_dir,
+    )
+    fleet_ckpt = os.path.join(fleet_dir, MultiEntityTrainer.FLEET_STATE_FILE)
+    if cfg.auto_resume and os.path.exists(fleet_ckpt):
+        trainer.load_fleet(fleet_ckpt, len(groups))
+        print(f"Auto-resumed fleet from {fleet_ckpt}")
+    print(f"Batched sweep: training {len(groups)} entities simultaneously")
+    trainer.fit(series_list)
+
     results = {}
     for e, group in enumerate(groups):
         save_path = os.path.join(cfg.output_root, "SMD", group, run_id)

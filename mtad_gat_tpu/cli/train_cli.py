@@ -157,7 +157,8 @@ def run_training(
         print(f"Warm-started from PyTorch checkpoint {init_from_torch}")
     trainer.fit(x_train)
 
-    plot_losses(trainer.losses, save_path=save_path, plot=False)
+    if multihost.is_primary():
+        plot_losses(trainer.losses, save_path=save_path, plot=False)
 
     test_loss = trainer.evaluate(x_test)
     print(f"Test forecast loss: {test_loss[0]:.5f}")
@@ -171,7 +172,8 @@ def run_training(
         mesh=mesh,
     )
 
-    cfg.save(os.path.join(save_path, "config.txt"))
+    if multihost.is_primary():
+        cfg.save(os.path.join(save_path, "config.txt"))
     return save_path
 
 

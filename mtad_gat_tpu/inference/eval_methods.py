@@ -155,18 +155,11 @@ def bf_search(
 
     When the native host library is available (and no verbose tracing is
     requested) the search runs in C++ with OpenMP across thresholds — same
-    semantics, each threshold a full point-adjust + metrics pass."""
+    semantics, each threshold a full point-adjust + metrics pass. BOTH paths
+    evaluate the SAME float-accumulated grid (computed here, passed to the
+    kernel), so an adversarial near-tie picks the same winner regardless of
+    which path ran."""
     print("Finding best f1-score by searching for threshold..")
-    if (
-        use_native and not verbose and end is not None
-        and step_num and step_num > 1 and label is not None
-    ):
-        from mtad_gat_tpu.native import bf_search_native
-
-        res = bf_search_native(score, label, start, end, step_num)
-        if res is not None:
-            return res
-
     if step_num is None or end is None:
         end, step_num = start, 1
     if verbose:
@@ -178,6 +171,13 @@ def bf_search(
     for _ in range(step_num):
         t += step
         grid.append(t)
+
+    if use_native and not verbose and step_num > 1 and label is not None:
+        from mtad_gat_tpu.native import bf_search_native
+
+        res = bf_search_native(score, label, grid)
+        if res is not None:
+            return res
 
     best = {"f1": -1.0, "precision": -1.0, "recall": -1.0, "threshold": 0.0,
             "TP": 0.0, "TN": 0.0, "FP": 0.0, "FN": 0.0, "latency": 0}

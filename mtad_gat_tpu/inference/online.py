@@ -50,7 +50,17 @@ class OnlineScorer:
     ``update`` returns None until enough points have arrived (the first
     scoreable point is the (window_size+1)-th, matching the offline scorer's
     ``values[w:]``), then a dict with per-feature and global scores, the
-    active threshold, and the alarm flag.
+    active threshold, and the alarm flag. ``update_many`` feeds a chunk of K
+    points through ONE jitted ``lax.scan`` dispatch (same records, one
+    host round-trip per chunk instead of per point — the high-throughput
+    serving path).
+
+    LIMITATION: streaming scores equal the offline ``Predictor.get_score``
+    only with ``scale_scores=False`` and ``use_mov_av=False`` (the offline
+    median/IQR scaling and EWM smoothing are whole-series operations with no
+    causal streaming form). A threshold fitted on scaled/smoothed offline
+    train scores would be miscalibrated against the raw streaming scores —
+    fit it on raw offline scores (docs/MIGRATION.md).
     """
 
     def __init__(
@@ -85,8 +95,7 @@ class OnlineScorer:
         dims = None if self.target_dims is None else jnp.asarray(self.target_dims)
         gamma_c = float(gamma)
 
-        @partial(jax.jit, donate_argnums=(1,))
-        def step(params, buffer, pending, x):
+        def one_point(params, buffer, pending, x):
             # roll the ring buffer and run ONE forward on the window ending
             # at the new point: forecast of the NEXT point + recon of the
             # newest point (prediction.py:55-63 semantics, streamed). The
@@ -105,7 +114,25 @@ class OnlineScorer:
             )
             return buffer, preds[0], (pending, recon, a_score, a_score.mean())
 
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(params, buffer, pending, x):
+            return one_point(params, buffer, pending, x)
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def step_chunk(params, buffer, pending, xs):
+            # K points per dispatch: the ring buffer + pending forecast are
+            # the scan carry, so the chunk is bit-equivalent to K single
+            # steps while paying ONE dispatch + ONE host fetch per chunk
+            def body(carry, x):
+                buf, pend = carry
+                buf, forecast, outs = one_point(params, buf, pend, x)
+                return (buf, forecast), outs
+
+            (buffer, pending), outs = jax.lax.scan(body, (buffer, pending), xs)
+            return buffer, pending, outs
+
         self._step = step
+        self._step_chunk = step_chunk
 
     # ------------------------------------------------------------------
     def fit_threshold(
@@ -155,24 +182,53 @@ class OnlineScorer:
                 "a_score": a_score,
                 "score": global_score,
             }
-            if self._threshold_method == "epsilon":
-                record["threshold"] = self._epsilon
-                record["is_anomaly"] = global_score >= self._epsilon
-            elif self._threshold_method == "spot":
-                record["is_anomaly"] = self._spot.step(global_score)
-                record["threshold"] = float(self._spot.extreme_quantile)
+            self._apply_threshold(record)
 
         # forecast emitted by the window ending at this point predicts the
         # NEXT point; hold it ON DEVICE until that point arrives
         self._pending_forecast = forecast
         return record
 
+    def _apply_threshold(self, record: Dict) -> None:
+        # strict > matches the offline evaluation convention
+        # (eval_methods.adjust_predicts: score > threshold)
+        if self._threshold_method == "epsilon":
+            record["threshold"] = self._epsilon
+            record["is_anomaly"] = record["score"] > self._epsilon
+        elif self._threshold_method == "spot":
+            record["is_anomaly"] = self._spot.step(record["score"])
+            record["threshold"] = float(self._spot.extreme_quantile)
+
     def update_many(self, xs: np.ndarray) -> list:
-        """Feed a chunk of observations (T, n_features); returns the list of
-        non-None records."""
-        out = []
-        for x in np.asarray(xs, np.float32):
-            rec = self.update(x)
-            if rec is not None:
-                out.append(rec)
-        return out
+        """Feed a chunk of observations (T, n_features) through ONE jitted
+        ``lax.scan`` dispatch; returns the list of scoreable records — the
+        same records the per-point ``update`` loop would produce (tested),
+        at one dispatch + one host fetch per CHUNK. This is the
+        high-throughput serving path (measured on hardware in
+        docs/PERFORMANCE.md); per-point ``update`` remains the low-latency
+        path."""
+        xs = np.asarray(xs, np.float32).reshape(-1, self.n_features)
+        if xs.shape[0] == 0:
+            return []
+        start_seen = self._seen
+        self._buffer, self._pending_forecast, outs = self._step_chunk(
+            self.params, self._buffer, self._pending_forecast, jnp.asarray(xs)
+        )
+        self._seen += xs.shape[0]
+        pendings, recons, a_scores, global_scores = jax.device_get(outs)
+
+        records = []
+        for i in range(xs.shape[0]):
+            t = start_seen + i
+            if t < self.window:   # pending forecast not armed yet
+                continue
+            record = {
+                "t": t,
+                "forecast": pendings[i],
+                "recon": recons[i],
+                "a_score": a_scores[i],
+                "score": float(global_scores[i]),
+            }
+            self._apply_threshold(record)
+            records.append(record)
+        return records

@@ -113,15 +113,29 @@ class Predictor:
     # ------------------------------------------------------------------
     def get_score(self, values: np.ndarray) -> pd.DataFrame:
         """Anomaly scores for a full series (reference ``prediction.py:36-94``)."""
-        print("Predicting and calculating anomaly scores..")
         values = np.asarray(values, dtype=np.float32)
         T = values.shape[0]
         w = self.window_size
         n_eval = T - w            # number of scored timesteps (t = w .. T-1)
         # single pass over windows 0..T-w inclusive (see module docstring)
         starts, mask, _ = batched_starts(n_eval + 1, self.batch_size)
+        # progress reporting (the reference tqdm-wraps its scoring loop,
+        # prediction.py:51; here the whole pass is ONE jitted scan, so
+        # report size up front and throughput after)
+        print(
+            f"Predicting and calculating anomaly scores.. "
+            f"({n_eval + 1} windows, {starts.shape[0]} batches of "
+            f"{self.batch_size})"
+        )
+        import time as _time
+
+        t0 = _time.perf_counter()
         series = jnp.asarray(values)
         preds_all, recon_all = self._score_scan(self.params, series, starts, mask)
+        preds_all = jax.block_until_ready(preds_all)
+        dt = _time.perf_counter() - t0
+        print(f"  scored {n_eval + 1} windows in {dt:.1f}s "
+              f"({(n_eval + 1) / max(dt, 1e-9):,.0f} windows/s)")
         out_dim = preds_all.shape[-1]
         preds_all = np.asarray(preds_all).reshape(-1, out_dim)[: n_eval + 1]
         recon_all = np.asarray(recon_all).reshape(-1, out_dim)[: n_eval + 1]
@@ -266,14 +280,19 @@ class Predictor:
         self._annotate_feature_thresholds(frames)
         summary = self._entity_summary(scores["train"], scores["test"], true_anomalies)
 
-        os.makedirs(self.save_path, exist_ok=True)
-        with open(os.path.join(self.save_path, self.summary_file_name), "w") as f:
-            json.dump(summary, f, indent=2)
+        # multi-process write hygiene: every process computes the summary
+        # (scoring is collective under a pod mesh) but only one writes it
+        from mtad_gat_tpu.parallel.multihost import is_primary
 
-        if save_output:
-            self._write_outputs(
-                frames, scores, true_anomalies,
-                summary["epsilon_result"]["threshold"],
-            )
+        if is_primary():
+            os.makedirs(self.save_path, exist_ok=True)
+            with open(os.path.join(self.save_path, self.summary_file_name), "w") as f:
+                json.dump(summary, f, indent=2)
+
+            if save_output:
+                self._write_outputs(
+                    frames, scores, true_anomalies,
+                    summary["epsilon_result"]["threshold"],
+                )
         print("-- Done.")
         return summary

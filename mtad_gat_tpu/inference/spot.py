@@ -26,11 +26,24 @@ part of its API surface.
 
 from __future__ import annotations
 
+import os
 from math import floor, log
 from typing import Dict, Optional
 
 import numpy as np
 from scipy.optimize import minimize
+
+
+def _progress(iterable, total=None, desc: str = ""):
+    """tqdm when available (the reference wraps its streaming loops in tqdm,
+    ``spot.py:434``; long runs should not be silent), plain iterable
+    otherwise."""
+    try:
+        from tqdm import tqdm
+
+        return tqdm(iterable, total=total, desc=desc)
+    except Exception:
+        return iterable
 
 
 def back_mean(X: np.ndarray, d: int) -> np.ndarray:
@@ -110,7 +123,16 @@ class SPOT:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _roots_finder(fun, jac, bounds, npoints, method="regular") -> np.ndarray:
+    def _roots_finder(fun_jac_vec, bounds, npoints, method="regular") -> np.ndarray:
+        """``fun_jac_vec`` evaluates value AND gradient for the whole VECTOR
+        of candidate points in one call, sharing the (npoints, Npeaks)
+        intermediates between them (each element bit-identical to the
+        reference's per-scalar evaluation — numpy's pairwise row means equal
+        its 1-D means). This cuts the objective from ~140 small-array numpy
+        calls per L-BFGS-B iteration to ~7 (measured, docs/PERFORMANCE.md).
+        The squared-residual accumulator stays a sequential Python loop to
+        preserve the reference's summation order exactly
+        (``spot.py:244-253``)."""
         if method == "regular":
             step = (bounds[1] - bounds[0]) / (npoints + 1)
             # degenerate interval (all peaks equal, or numerically collapsed
@@ -125,12 +147,12 @@ class SPOT:
             return np.array([])
 
         def obj(X):
+            fx, jx = fun_jac_vec(X)
             g = 0.0
-            j = np.zeros(X.shape)
-            for i, x in enumerate(X):
-                fx = fun(x)
-                g += fx ** 2
-                j[i] = 2 * fx * jac(x)
+            j = np.empty(X.shape)
+            for i in range(X.size):
+                g += fx[i] ** 2
+                j[i] = 2 * fx[i] * jx[i]
             return g, j
 
         opt = minimize(
@@ -152,22 +174,21 @@ class SPOT:
     def _grimshaw(self, epsilon: float = 1e-8, n_points: int = 10):
         peaks = self.peaks
 
-        def u(s):
-            return 1 + np.log(s).mean()
-
-        def v(s):
-            return np.mean(1 / s)
-
-        def w(t):
-            s = 1 + t * peaks
-            return u(s) * v(s) - 1
-
-        def jac_w(t):
-            s = 1 + t * peaks
-            us, vs = u(s), v(s)
-            jac_us = (1 / t) * (1 - vs)
-            jac_vs = (1 / t) * (-vs + np.mean(1 / s ** 2))
-            return us * jac_vs + vs * jac_us
+        # Value + gradient for the whole candidate vector T in one pass,
+        # sharing S / log S / 1/S between them. Each row's mean is numpy's
+        # pairwise reduction over the same contiguous data the reference's
+        # per-scalar calls reduce, so every element is bit-identical to the
+        # scalar evaluation (spot.py:299-382) while doing ~7 numpy calls per
+        # L-BFGS-B iteration instead of ~140. (1/S**2 is computed exactly as
+        # the reference writes it — NOT as (1/S)*(1/S), which rounds
+        # differently.)
+        def w_and_jac_vec(T):
+            S = 1 + T[:, None] * peaks[None, :]
+            U = 1 + np.log(S).mean(axis=1)
+            V = np.mean(1 / S, axis=1)
+            jac_us = (1 / T) * (1 - V)
+            jac_vs = (1 / T) * (-V + np.mean(1 / S ** 2, axis=1))
+            return U * V - 1, U * jac_vs + V * jac_us
 
         Ym, YM, Ymean = peaks.min(), peaks.max(), peaks.mean()
         if YM <= 0 or Ym == YM:
@@ -182,22 +203,41 @@ class SPOT:
         b = 2 * (Ymean - Ym) / (Ymean * Ym)
         c = 2 * (Ymean - Ym) / (Ym ** 2)
 
-        left_zeros = self._roots_finder(w, jac_w, (a + epsilon, -epsilon), n_points)
-        right_zeros = self._roots_finder(w, jac_w, (b, c), n_points)
+        left_zeros = self._roots_finder(
+            w_and_jac_vec, (a + epsilon, -epsilon), n_points
+        )
+        right_zeros = self._roots_finder(w_and_jac_vec, (b, c), n_points)
         zeros = np.concatenate((left_zeros, right_zeros))
 
         gamma_best, sigma_best = 0.0, Ymean
         ll_best = self._log_likelihood(peaks, gamma_best, sigma_best)
-        for z in zeros:
-            if z == 0:
-                continue
-            gamma = u(1 + z * peaks) - 1
-            sigma = gamma / z
-            if sigma <= 0:
-                continue
-            ll = self._log_likelihood(peaks, gamma, sigma)
-            if ll > ll_best:
-                gamma_best, sigma_best, ll_best = gamma, sigma, ll
+        # Candidate evaluation, vectorized across the root candidates with
+        # the same bit-exactness discipline as w_and_jac_vec: row means/sums
+        # equal the per-scalar reductions; scalar log(sigma) stays math.log
+        # (np.log's SIMD kernel differs from libm in the last bit on this
+        # platform — measured); the first-best-wins selection loop keeps the
+        # reference's candidate order and strict > (spot.py:299-382).
+        zs = zeros[zeros != 0]
+        if zs.size:
+            S = 1 + zs[:, None] * peaks[None, :]
+            gammas = (1 + np.log(S).mean(axis=1)) - 1    # u(s) - 1, as written
+            sigmas = gammas / zs
+            n_ = peaks.size
+            for i in range(zs.size):
+                gamma = float(gammas[i])
+                sigma = float(sigmas[i])
+                if sigma <= 0:
+                    continue
+                if gamma != 0:
+                    tau = gamma / sigma
+                    ll = (
+                        -n_ * log(sigma)
+                        - (1 + 1 / gamma) * np.log(1 + tau * peaks).sum()
+                    )
+                else:
+                    ll = self._log_likelihood(peaks, gamma, sigma)
+                if ll > ll_best:
+                    gamma_best, sigma_best, ll_best = gamma, sigma, ll
         return gamma_best, sigma_best, ll_best
 
     def _quantile(self, gamma: float, sigma: float) -> float:
@@ -227,11 +267,72 @@ class SPOT:
                 th = [self.extreme_quantile] * data.size
             return {"thresholds": th, "alarms": alarm}
 
-        for i in range(data.size):
+        if not with_alarm:
+            fast = self._run_dynamic_noalarm_fast(data)
+            if fast is not None:
+                return fast
+
+        for i in _progress(range(data.size), desc="SPOT stream"):
             if self.step(data[i], with_alarm=with_alarm):
                 alarm.append(i)
             th.append(self.extreme_quantile)
         return {"thresholds": th, "alarms": alarm}
+
+    def _run_dynamic_noalarm_fast(self, data: np.ndarray) -> Optional[Dict]:
+        """Parallel dynamic-mode run for ``with_alarm=False`` (the pot_eval
+        path, reference ``spot.py:405-473`` with ``--dynamic_pot``).
+
+        Key structural fact: with alarms off, BOTH over-threshold branches of
+        the streaming loop do the identical thing (append the excess as a
+        peak, refit Grimshaw), so which points become peaks depends ONLY on
+        the static init threshold — never on the evolving extreme quantile.
+        The peak schedule is therefore known up front, every refit is an
+        independent GPD fit on a prefix of one precomputed excess array, and
+        the refits parallelize across CPU processes with bit-identical
+        per-fit math (measured >=10x vs the sequential loop at SMD scale,
+        docs/PERFORMANCE.md).
+
+        Precondition: every active quantile must sit at or above the init
+        threshold (otherwise a point in (quantile, init_threshold] would
+        have appended a peak in the sequential loop). Checked after the
+        fits; on violation — or if initialize() left a sub-threshold
+        quantile — returns None and the caller falls back to the exact
+        sequential loop."""
+        if self.extreme_quantile is None or self.init_threshold is None:
+            return None
+        if self.extreme_quantile < self.init_threshold:
+            return None
+        init_t = float(self.init_threshold)
+        data = np.asarray(data, dtype=np.float64)
+        mask = data > init_t
+        peak_idx = np.flatnonzero(mask)
+        K = int(peak_idx.size)
+        full = np.concatenate(
+            [np.asarray(self.peaks, np.float64), data[peak_idx] - init_t]
+        )
+        Nt0, n0 = int(self.Nt), int(self.n)
+        # refit k (1-based) fires at point peak_idx[k-1] with
+        # Nt = Nt0 + k and n = n0 + peak_idx[k-1] + 1 (n ticks every point)
+        ns = (n0 + peak_idx + 1).astype(np.int64)
+        quantiles = _prefix_quantiles(full, Nt0, ns, init_t, self.proba)
+        if K and quantiles.min() < init_t:
+            return None
+
+        th = np.concatenate(
+            [[float(self.extreme_quantile)], quantiles]
+        )[np.cumsum(mask)]
+        self.peaks = full
+        self.Nt = Nt0 + K
+        self.n = n0 + data.size
+        if K:
+            self.extreme_quantile = float(quantiles[-1])
+        return {"thresholds": list(th), "alarms": []}
+
+    def plot(self, run_results: Dict, with_alarm: bool = True) -> list:
+        """Plot the stream, thresholds, and alarms from a ``run`` result
+        (reference ``spot.py:475-509``): returns the list of matplotlib
+        artists [series, thresholds?, alarms?]."""
+        return _plot_run(self.data, run_results, with_alarm)
 
     def step(self, x: float, with_alarm: bool = True) -> bool:
         """One streaming point of the dynamic-mode loop (the body of ``run``,
@@ -257,6 +358,106 @@ class SPOT:
         else:
             self.n += 1
         return False
+
+# ---------------------------------------------------------------------------
+# Plotting (reference spot.py:475-509 and per-variant equivalents)
+# ---------------------------------------------------------------------------
+
+# the reference's plot colors (spot.py:24-26)
+_AIR_FORCE_BLUE = "#5D8AA8"
+_DEEP_SAFFRON = "#FF9933"
+
+
+def _plot_run(data: np.ndarray, run_results: Dict, with_alarm: bool = True) -> list:
+    """Shared body of the SPOT-family ``plot`` methods: the streamed series,
+    dashed threshold line(s), and alarm scatter. Returns the artist list in
+    the reference's order (series, thresholds..., alarms)."""
+    import matplotlib.pyplot as plt
+
+    x = range(data.size)
+    figs = []
+    (ts_fig,) = plt.plot(x, data, color=_AIR_FORCE_BLUE)
+    figs.append(ts_fig)
+    for key in ("thresholds", "upper_thresholds", "lower_thresholds"):
+        if key in run_results:
+            (th_fig,) = plt.plot(
+                x, run_results[key], color=_DEEP_SAFFRON, lw=2, ls="dashed"
+            )
+            figs.append(th_fig)
+    if with_alarm and "alarms" in run_results:
+        alarm = np.asarray(run_results["alarms"], dtype=int)
+        figs.append(plt.scatter(alarm, data[alarm], color="red"))
+    plt.xlim((0, data.size))
+    return figs
+
+
+# ---------------------------------------------------------------------------
+# Parallel prefix refits (fast dynamic-mode machinery)
+# ---------------------------------------------------------------------------
+
+
+def _prefix_quantile_chunk(args, progress: bool = False) -> list:
+    """Worker: extreme quantiles for a chunk of prefix refits. Each refit k
+    fits Grimshaw on full[:Nt0+k] — the exact array the sequential loop's
+    np.append would have built — with the (n, Nt) bookkeeping of its firing
+    point, so every value is bit-identical to the streaming loop's."""
+    full, Nt0, ks, ns, init_t, proba = args
+    tmp = SPOT(proba)
+    tmp.init_threshold = init_t
+    out = []
+    pairs = zip(ks, ns)
+    if progress:
+        pairs = _progress(pairs, total=len(ks), desc="POT refits")
+    for k, n in pairs:
+        tmp.peaks = full[: Nt0 + int(k)]
+        tmp.Nt = Nt0 + int(k)
+        tmp.n = int(n)
+        g, s, _ = tmp._grimshaw()
+        out.append(tmp._quantile(g, s))
+    return out
+
+
+def _prefix_quantiles(
+    full: np.ndarray, Nt0: int, ns: np.ndarray, init_t: float, proba: float
+) -> np.ndarray:
+    """All K prefix-refit quantiles. The refits are independent (static
+    schedule), so they CAN fan out over CPU processes — opt in with
+    MTAD_GAT_SPOT_PARALLEL=<workers>. Default is in-process serial: on the
+    2-vCPU bench host a fork pool measured SLOWER than serial (workers ran
+    ~3x slower than the parent under sibling-hyperthread contention), and
+    the serial path is already the vectorized-objective fast path. Chunks
+    are interleaved (ks[i::nchunks]) so prefix length — and thus cost —
+    balances across workers."""
+    K = int(ns.size)
+    if K == 0:
+        return np.empty(0)
+    ks = np.arange(1, K + 1)
+    workers = int(os.environ.get("MTAD_GAT_SPOT_PARALLEL", "0") or 0)
+    if workers > 1 and K >= 64:
+        try:
+            from concurrent.futures import ProcessPoolExecutor
+
+            nch = workers * 4
+            chunks = [np.arange(K)[i::nch] for i in range(nch)]
+            args = [
+                (full, Nt0, ks[c], ns[c], init_t, proba)
+                for c in chunks if c.size
+            ]
+            with ProcessPoolExecutor(max_workers=workers) as ex:
+                results = list(ex.map(_prefix_quantile_chunk, args))
+            out = np.empty(K, np.float64)
+            for c, r in zip([c for c in chunks if c.size], results):
+                out[c] = np.asarray(r, np.float64)
+            return out
+        except Exception:
+            pass  # pool unavailable (restricted env): serial fallback below
+    return np.asarray(
+        _prefix_quantile_chunk(
+            (full, Nt0, ks, ns, init_t, proba), progress=K >= 512
+        ),
+        np.float64,
+    )
+
 
 # ---------------------------------------------------------------------------
 # Variants: drift-aware and two-sided
@@ -357,6 +558,11 @@ class dSPOT:
                 W = np.append(W[1:], self.data[i])
             th.append(self.extreme_quantile + Mi)
         return {"thresholds": th, "alarms": alarm}
+
+    def plot(self, run_results: Dict, with_alarm: bool = True) -> list:
+        """Reference ``dSPOT`` plotting surface (drift-added thresholds are
+        already baked into the run result's series)."""
+        return _plot_run(self.data, run_results, with_alarm)
 
 
 class biSPOT:
@@ -461,6 +667,10 @@ class biSPOT:
             thdown.append(self.extreme_quantile["down"])
         return {"upper_thresholds": thup, "lower_thresholds": thdown, "alarms": alarm}
 
+    def plot(self, run_results: Dict, with_alarm: bool = True) -> list:
+        """Reference ``biSPOT`` plotting surface (both threshold sides)."""
+        return _plot_run(self.data, run_results, with_alarm)
+
 
 class bidSPOT:
     """Drift-aware two-sided SPOT (reference ``spot.py:1554-2090``)."""
@@ -556,3 +766,7 @@ class bidSPOT:
             thup.append(self.extreme_quantile["up"] + Mi)
             thdown.append(self.extreme_quantile["down"] + Mi)
         return {"upper_thresholds": thup, "lower_thresholds": thdown, "alarms": alarm}
+
+    def plot(self, run_results: Dict, with_alarm: bool = True) -> list:
+        """Reference ``bidSPOT`` plotting surface."""
+        return _plot_run(self.data, run_results, with_alarm)

@@ -76,6 +76,14 @@ def process_info() -> Tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
+def is_primary() -> bool:
+    """True on the single process that owns filesystem writes (checkpoints,
+    metrics, summaries, pickles). On a pod every process runs the same
+    program; without this gate they would all write the same paths
+    concurrently. Single-process runs are always primary."""
+    return jax.process_index() == 0
+
+
 def host_local_starts(
     all_starts: np.ndarray, data_shards: int
 ) -> np.ndarray:

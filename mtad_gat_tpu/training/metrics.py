@@ -14,12 +14,18 @@ from typing import Dict, Optional
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: str, use_tensorboard: bool = False, args_summary: str = ""):
+    def __init__(self, log_dir: str, use_tensorboard: bool = False,
+                 args_summary: str = "", enabled: bool = True):
+        # ``enabled=False`` turns every method into a no-op — how non-primary
+        # processes on a pod are silenced (multihost write hygiene: exactly
+        # one process writes each run-directory file).
+        self.enabled = enabled
         self.log_dir = log_dir
-        os.makedirs(log_dir, exist_ok=True)
+        if enabled:
+            os.makedirs(log_dir, exist_ok=True)
         self.jsonl_path = os.path.join(log_dir, "metrics.jsonl")
         self._tb = None
-        if use_tensorboard:
+        if use_tensorboard and enabled:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
@@ -30,6 +36,8 @@ class MetricsLogger:
                 self._tb = None
 
     def log(self, step: int, scalars: Dict[str, float]) -> None:
+        if not self.enabled:
+            return
         rec = {"step": step, "time": time.time()}
         rec.update({k: float(v) for k, v in scalars.items()})
         with open(self.jsonl_path, "a") as f:

@@ -124,9 +124,12 @@ class Trainer:
         }
         self.epoch_times = []
         self.state: Optional[TrainState] = None
+        # Multi-process write hygiene: only process 0 writes metrics (and
+        # checkpoints, see save()) — on a pod every process runs fit() but
+        # the run directory must have exactly one writer.
         self.logger = MetricsLogger(
             log_dir, use_tensorboard=train_config.log_tensorboard,
-            args_summary=args_summary,
+            args_summary=args_summary, enabled=multihost.is_primary(),
         )
 
         self._build_steps()
@@ -221,6 +224,12 @@ class Trainer:
 
         self._epoch_train = run_train
         self._epoch_eval = run_eval
+        # raw jitted callables, exposed for AOT introspection (lower() ->
+        # compile() -> memory_analysis(); used by bench_long.py to report
+        # peak HBM — device.memory_stats() is unavailable on the remote
+        # axon platform)
+        self._jit_epoch_train = epoch_train
+        self._jit_epoch_eval = epoch_eval
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -365,6 +374,10 @@ class Trainer:
     # ------------------------------------------------------------------
     def save(self, file_name: str) -> None:
         assert self.state is not None
+        if not multihost.is_primary():
+            # params are replicated across processes (same seeded init, same
+            # collective updates): process 0's write is the whole checkpoint
+            return
         os.makedirs(self.save_path or ".", exist_ok=True)
         path = os.path.join(self.save_path, file_name)
         save_checkpoint(path, {"params": self.state.params})

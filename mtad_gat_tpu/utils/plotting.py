@@ -155,6 +155,66 @@ class Plotter:
             plt.savefig(save_path, bbox_inches="tight")
         plt.close(fig)
 
+    def plotly_feature_figure(self, feature: int, plot_train: bool = False,
+                              start: int = 0, end: Optional[int] = None) -> dict:
+        """The interactive per-feature figure as a plain plotly spec —
+        forecast/recon/actual on the top axis, anomaly score + threshold on
+        the bottom, true/predicted anomaly segments shaded, and an x-range
+        slider, mirroring the reference's ``plot_feature`` plotly figure
+        (``plotting.py:154-287``). Render with :meth:`write_plotly_html`."""
+        df = self.train_output if plot_train else self.test_output
+        end = len(df) if end is None else end
+        assert start < end
+        sl = slice(start, end)
+
+        def series(col):
+            return [float(v) for v in df[col].values[sl]]
+
+        data = []
+        if f"Forecast_{feature}" in df.columns:
+            data.append({"type": "scatter", "y": series(f"True_{feature}"),
+                         "name": "actual", "line": {"width": 1},
+                         "xaxis": "x", "yaxis": "y"})
+            data.append({"type": "scatter", "y": series(f"Forecast_{feature}"),
+                         "name": "forecast", "line": {"width": 1},
+                         "xaxis": "x", "yaxis": "y"})
+            data.append({"type": "scatter", "y": series(f"Recon_{feature}"),
+                         "name": "recon", "line": {"width": 1},
+                         "xaxis": "x", "yaxis": "y"})
+        score_max = 1.0
+        if f"A_Score_{feature}" in df.columns:
+            score = series(f"A_Score_{feature}")
+            score_max = max(score) if score else 1.0
+            data.append({"type": "scatter", "y": score, "name": "score",
+                         "line": {"width": 1}, "xaxis": "x", "yaxis": "y2"})
+            data.append({"type": "scatter", "y": series(f"Thresh_{feature}"),
+                         "name": "threshold",
+                         "line": {"width": 1, "dash": "dash", "color": "red"},
+                         "xaxis": "x", "yaxis": "y2"})
+
+        shapes = []
+        if self.labels_available and not plot_train:
+            true_ranges = get_anomaly_sequences(df["A_True_Global"].values[sl])
+            # shade both stacked axes (reference shades its two figures)
+            shapes += self.create_shapes(true_ranges, "true", 0.0, score_max,
+                                         None, xref="x", yref="y2")
+        if f"A_Pred_{feature}" in df.columns:
+            pred_ranges = get_anomaly_sequences(df[f"A_Pred_{feature}"].values[sl])
+            shapes += self.create_shapes(pred_ranges, "predicted", 0.0,
+                                         score_max, None, xref="x", yref="y2")
+
+        return {
+            "data": data,
+            "layout": {
+                "title": {"text": f"Feature {feature}"},
+                "grid": {"rows": 2, "columns": 1, "shared_xaxes": True},
+                "yaxis": {"domain": [0.55, 1.0], "title": {"text": "value"}},
+                "yaxis2": {"domain": [0.0, 0.45], "title": {"text": "score"}},
+                "xaxis": {"rangeslider": {"visible": True, "thickness": 0.05}},
+                "shapes": shapes,
+            },
+        }
+
     def plot_all_features(self, plot_train: bool = False,
                           save_path: Optional[str] = None) -> None:
         """All-feature grid (plotting.py:289-318)."""

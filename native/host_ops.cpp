@@ -171,14 +171,17 @@ static void metrics_from(const uint8_t* predict, const uint8_t* actual,
   out7[3] = TP; out7[4] = TN; out7[5] = FP; out7[6] = FN;
 }
 
-// Reference loop semantics: threshold increments BEFORE evaluating; ties
-// keep the earlier (lower) threshold (strict > comparison on f1).
+// Reference loop semantics: ties keep the earlier (lower) threshold
+// (strict > comparison on f1). The threshold GRID is computed by the Python
+// caller with the reference's repeated float accumulation
+// (eval_methods.py bf_search) and passed in, so the native and Python paths
+// evaluate BIT-IDENTICAL thresholds — an adversarial near-tie cannot pick
+// different winners depending on which path ran.
 // out9 = {f1, precision, recall, TP, TN, FP, FN, threshold, latency}.
-void bf_search(const double* score, const uint8_t* actual, int64_t n,
-               double start, double end, int64_t step_num, double* out9) {
+void bf_search_grid(const double* score, const uint8_t* actual, int64_t n,
+                    const double* grid, int64_t step_num, double* out9) {
   std::vector<double> f1s(step_num), lats(step_num);
   std::vector<std::vector<double>> mets(step_num, std::vector<double>(7));
-  double range = end - start;
 
 #ifdef _OPENMP
 #pragma omp parallel
@@ -189,7 +192,7 @@ void bf_search(const double* score, const uint8_t* actual, int64_t n,
 #pragma omp for schedule(static)
 #endif
     for (int64_t s = 0; s < step_num; ++s) {
-      double threshold = start + range * (double)(s + 1) / (double)step_num;
+      double threshold = grid[s];
       for (int64_t i = 0; i < n; ++i) predict[i] = score[i] > threshold;
       double lat = point_adjust(predict.data(), actual, n);
       metrics_from(predict.data(), actual, n, mets[s].data());
@@ -212,7 +215,7 @@ void bf_search(const double* score, const uint8_t* actual, int64_t n,
     return;
   }
   for (int i = 0; i < 7; ++i) out9[i] = mets[best_s][i];
-  out9[7] = start + range * (double)(best_s + 1) / (double)step_num;
+  out9[7] = grid[best_s];
   out9[8] = lats[best_s];
 }
 

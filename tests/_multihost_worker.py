@@ -69,14 +69,20 @@ def main() -> None:
     rng = np.random.default_rng(0)  # same data on every process
     series = rng.standard_normal((150, 6)).astype(np.float32)
 
-    with tempfile.TemporaryDirectory() as tmp:
-        trainer = Trainer(cfg, tcfg, save_path="", log_dir=tmp, mesh=mesh)
-        trainer.init_state()
-        trainer.fit(series)
+    # REAL run directory shared by every process (multi-process write
+    # hygiene: checkpoints/metrics must end up written exactly once, by
+    # process 0 — trainer.save / MetricsLogger gate on multihost.is_primary)
+    run_dir = f"{out_path}_run"
+    os.makedirs(run_dir, exist_ok=True)
+    trainer = Trainer(cfg, tcfg, save_path=run_dir, log_dir=run_dir, mesh=mesh)
+    trainer.init_state()
+    trainer.fit(series)
 
     with open(f"{out_path}.p{pid}", "w") as f:
         json.dump({"losses": trainer.losses, "mesh": dict(mesh.shape),
-                   "process_count": jax.process_count()}, f)
+                   "process_count": jax.process_count(),
+                   "is_primary": multihost.is_primary(),
+                   "run_dir_files": sorted(os.listdir(run_dir))}, f)
 
 
 if __name__ == "__main__":

@@ -166,3 +166,83 @@ def test_epsilon_eval_parity():
         want = ref.epsilon_eval(train_scores.copy(), score.copy(), label.copy(), reg_level=reg)
         for k in ("f1", "precision", "recall", "threshold"):
             assert ours[k] == pytest.approx(want[k], rel=1e-9)
+
+
+@requires_reference
+def test_spot_dynamic_fast_path_bit_identical_to_reference():
+    """The parallel-schedule fast path for run(dynamic=True,
+    with_alarm=False) (VERDICT r3 item #6) must be BIT-identical to the
+    reference's sequential streaming loop — thresholds and alarms — on a
+    stream large enough to take the fast path (K >= 64 refits)."""
+    import spot as ref_spot
+
+    rng = np.random.default_rng(7)
+    init = rng.gamma(2.0, 1.0, 3000)
+    stream = rng.gamma(2.0, 1.0, 6000)
+
+    ours = SPOT(q=1e-3)
+    ours.fit(init, stream)
+    ours.initialize(level=0.98)
+    r_ours = ours.run(dynamic=True, with_alarm=False)
+
+    theirs = ref_spot.SPOT(q=1e-3)
+    theirs.fit(init.copy(), stream.copy())
+    theirs.initialize(level=0.98, verbose=False)
+    r_theirs = theirs.run(dynamic=True, with_alarm=False)
+
+    assert len(r_ours["thresholds"]) == len(r_theirs["thresholds"])
+    assert all(
+        float(a) == float(b)
+        for a, b in zip(r_ours["thresholds"], r_theirs["thresholds"])
+    )
+    assert list(r_ours["alarms"]) == list(r_theirs["alarms"])
+
+
+def test_spot_dynamic_fast_guard_falls_back_to_sequential():
+    """When the extreme quantile can dip below the init threshold (huge q
+    makes r = n*q/Nt > 1), the static-schedule precondition fails; the fast
+    path must detect it and fall back to the exact sequential loop — the
+    result must still equal a pure step() replay."""
+    rng = np.random.default_rng(8)
+    init = rng.gamma(2.0, 1.0, 2000)
+    stream = rng.gamma(2.0, 1.0, 3000)
+
+    a = SPOT(q=0.5)           # absurd q: quantile < init threshold
+    a.fit(init, stream)
+    a.initialize(level=0.98)
+    assert a._run_dynamic_noalarm_fast(np.asarray(stream, np.float64)) is None
+    r = a.run(dynamic=True, with_alarm=False)
+
+    b = SPOT(q=0.5)
+    b.fit(init, stream)
+    b.initialize(level=0.98)
+    th = []
+    for x in stream:
+        b.step(float(x), with_alarm=False)
+        th.append(b.extreme_quantile)
+    assert all(float(u) == float(v) for u, v in zip(r["thresholds"], th))
+
+
+def test_spot_dynamic_fast_equals_step_loop():
+    """Fast path vs the incremental step() loop (the online-serving path):
+    identical thresholds and final state on a normal stream."""
+    rng = np.random.default_rng(9)
+    init = rng.gamma(2.0, 1.0, 4000)
+    stream = rng.gamma(2.0, 1.0, 8000)
+
+    a = SPOT(q=1e-3)
+    a.fit(init, stream)
+    a.initialize(level=0.98)
+    r = a.run(dynamic=True, with_alarm=False)
+
+    b = SPOT(q=1e-3)
+    b.fit(init, stream)
+    b.initialize(level=0.98)
+    th = []
+    for x in stream:
+        b.step(float(x), with_alarm=False)
+        th.append(b.extreme_quantile)
+
+    assert all(float(u) == float(v) for u, v in zip(r["thresholds"], th))
+    assert a.Nt == b.Nt and a.n == b.n
+    assert float(a.extreme_quantile) == float(b.extreme_quantile)

@@ -86,3 +86,14 @@ def test_two_process_training_matches_single_process(tmp_path):
     # sanity: training actually progressed (2 epochs of 6 loss series)
     assert len(two[0]["losses"]["train_total"]) == 2
     assert all(len(v) == 2 for v in two[0]["losses"].values())
+
+    # multi-process write hygiene (VERDICT r3 item #4): both processes share
+    # a REAL run directory; exactly one (process 0) is the writer
+    assert [w["is_primary"] for w in two] == [True, False]
+    files = set(two[0]["run_dir_files"])
+    assert {"model.msgpack", "train_state.msgpack", "metrics.jsonl"} <= files
+    # a second concurrent writer would APPEND duplicate rows to the jsonl
+    # (open mode "a"); exactly-one-writer => exactly epochs rows
+    run_dir = str(tmp_path / "two") + "_run"
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        assert len(f.readlines()) == 2
