@@ -388,3 +388,44 @@ def test_online_scorer_streaming_on_hardware():
     print(f"\nonline per-point latency (flagship shape, remote attach): "
           f"median {med * 1e3:.2f} ms, p90 {sorted(lat)[int(len(lat)*0.9)] * 1e3:.2f} ms")
     assert med < 1.0  # sanity: streaming is interactive even over the tunnel
+
+
+def test_online_chunked_serving_throughput_on_hardware():
+    """Chunked serving path (update_many = one jitted lax.scan per chunk) on
+    the real chip: measured points/s for PERFORMANCE.md, plus a sanity
+    floor — the chunk path must beat per-point dispatch by a wide margin
+    (it amortizes the tunnel round trip across the chunk)."""
+    import time
+
+    from mtad_gat_tpu.config import MTADGATConfig
+    from mtad_gat_tpu.inference import OnlineScorer
+    from mtad_gat_tpu.models import MTADGAT
+
+    K, W, CHUNK = 38, 100, 128
+    cfg = MTADGATConfig(
+        n_features=K, window_size=W, out_dim=K, kernel_size=7,
+        gru_hid_dim=150, forecast_hid_dim=150, forecast_n_layers=3,
+        recon_hid_dim=150, recon_n_layers=1, dropout=0.0,
+    )
+    model = MTADGAT(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, W, K)))["params"]
+    scorer = OnlineScorer(model, params, W, K)
+    rng = np.random.default_rng(0)
+    stream = rng.standard_normal((W + CHUNK * 5, K)).astype(np.float32)
+
+    scorer.update_many(stream[: W + CHUNK])   # warmup compiles the chunk shape
+    body = stream[W + CHUNK:]
+    t0 = time.perf_counter()
+    n = 0
+    for i in range(0, len(body), CHUNK):
+        recs = scorer.update_many(body[i : i + CHUNK])
+        n += len(recs)
+        assert all(np.isfinite(r["score"]) for r in recs)
+    dt = time.perf_counter() - t0
+    pps = n / dt
+    print(f"\nchunked serving (chunk={CHUNK}): {pps:,.0f} points/s "
+          f"({dt / n * 1e3:.2f} ms/point amortized)")
+    assert n == len(body)
+    # the per-point path measures ~36 points/s over the tunnel; the chunked
+    # path must be at least several times faster
+    assert pps > 100
