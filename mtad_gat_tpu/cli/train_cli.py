@@ -138,6 +138,21 @@ def run_training(
     args_summary = cfg.to_json()
     print(args_summary)
 
+    # Long-window footguns: the reference-style defaults allocate O(n^2)
+    # state that dwarfs the model at large lookbacks — warn up front rather
+    # than OOM late (docs/PERFORMANCE.md "Long-window training").
+    if window_size >= 2048:
+        if cfg.temporal_graph.startswith("band:") and cfg.bias_storage == "full":
+            gib = window_size * window_size * 4 * 3 / 2**30
+            print(f"hint: lookback {window_size} with a banded temporal graph "
+                  f"keeps a full ({window_size},{window_size}) score bias — "
+                  f"~{gib:.1f} GiB of params+Adam state; consider "
+                  f"--bias_storage band")
+        if cfg.feat_gat_embed_dim is None:
+            print(f"hint: feature-GAT embed dim defaults to the lookback "
+                  f"({window_size}); at long windows consider "
+                  f"--feat_gat_embed_dim 150 (the flagship hidden size)")
+
     trainer = Trainer(
         model_cfg, train_cfg, target_dims=target_dims, save_path=save_path,
         log_dir=log_dir, args_summary=args_summary, mesh=mesh,

@@ -549,3 +549,41 @@ def test_bias_storage_config_validation():
         MTADGATConfig(n_features=K, window_size=W, bias_storage="band")
     with pytest.raises(ValueError, match="full|band"):
         MTADGATConfig(n_features=K, window_size=W, bias_storage="diag")
+
+
+def test_banded_scan_trains_on_mesh_matches_single_device():
+    """The long-window banded-scan path (band > cutoff, banded bias
+    storage) through the 8-device farm mesh: one training epoch must match
+    the single-device run (GSPMD shards the scan's batch axis; the block
+    rolls stay local)."""
+    from mtad_gat_tpu.config import TrainConfig
+    from mtad_gat_tpu.data.windows import batched_starts
+    from mtad_gat_tpu.parallel import make_mesh
+    from mtad_gat_tpu.training import Trainer
+
+    cfg = MTADGATConfig(
+        n_features=6, window_size=48, out_dim=6, kernel_size=7,
+        gru_hid_dim=8, forecast_hid_dim=8, forecast_n_layers=1,
+        recon_hid_dim=8, recon_n_layers=1, dropout=0.1,
+        temporal_graph="band:35", bias_storage="band",
+    )
+    tcfg = TrainConfig(epochs=1, val_split=0.0, bs=8, init_lr=1e-3,
+                       log_tensorboard=False, seed=0)
+    rng = np.random.default_rng(0)
+    series = jnp.asarray(rng.standard_normal((120, 6)), jnp.float32)
+    starts, mask, _ = batched_starts(16, 8)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t_single = Trainer(cfg, tcfg, save_path="", log_dir=tmp, mesh=None)
+        s0 = t_single.init_state()
+        _, (f0, r0) = t_single._epoch_train(s0, series, starts, mask)
+
+        mesh = make_mesh(8)
+        t_mesh = Trainer(cfg, tcfg, save_path="", log_dir=tmp, mesh=mesh)
+        s1 = t_mesh.init_state()
+        _, (f1, r1) = t_mesh._epoch_train(s1, series, starts, mask)
+
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=1e-5)

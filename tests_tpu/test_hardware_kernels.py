@@ -429,3 +429,36 @@ def test_online_chunked_serving_throughput_on_hardware():
     # the per-point path measures ~36 points/s over the tunnel; the chunked
     # path must be at least several times faster
     assert pps > 100
+
+
+def test_banded_scan_long_window_trains_on_hardware():
+    """Long-window path on the real chip (VERDICT r4 item #1): lookback
+    2048 with band:128 through the block-scan attention + banded bias
+    storage — one full training step (forward + backward + adam) must
+    execute with finite losses and compile via Mosaic/XLA for TPU (CPU runs
+    use different codegen, so this must run on hardware)."""
+    import tempfile
+
+    from mtad_gat_tpu.config import MTADGATConfig, TrainConfig
+    from mtad_gat_tpu.data.windows import batched_starts
+    from mtad_gat_tpu.training import Trainer
+
+    cfg = MTADGATConfig(
+        n_features=38, window_size=2048, out_dim=38, kernel_size=7,
+        gru_hid_dim=150, forecast_hid_dim=150, forecast_n_layers=3,
+        recon_hid_dim=150, recon_n_layers=1, dropout=0.3,
+        compute_dtype="bfloat16", temporal_graph="band:128",
+        bias_storage="band", feat_gat_embed_dim=150,
+    )
+    tcfg = TrainConfig(epochs=1, val_split=0.0, bs=8, init_lr=1e-3,
+                       log_tensorboard=False, seed=0)
+    rng = np.random.default_rng(0)
+    series = jnp.asarray(rng.standard_normal((2100, 38)), jnp.float32)
+    starts, mask, _ = batched_starts(16, 8)
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer = Trainer(cfg, tcfg, save_path="", log_dir=tmp)
+        state = trainer.init_state()
+        state, (f, r) = trainer._epoch_train(state, series, starts, mask)
+        f, r = np.asarray(f), np.asarray(r)
+    assert np.isfinite(f).all() and np.isfinite(r).all()
+    assert (f > 0).all() and (r > 0).all()
