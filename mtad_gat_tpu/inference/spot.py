@@ -33,6 +33,67 @@ from typing import Dict, Optional
 import numpy as np
 from scipy.optimize import minimize
 
+try:  # direct reverse-communication driver (see _direct_lbfgsb)
+    from scipy.optimize import _lbfgsb as _scipy_lbfgsb
+except Exception:  # pragma: no cover - scipy layout change
+    _scipy_lbfgsb = None
+
+# scipy's minimize(..., method="L-BFGS-B") defaults, reproduced exactly
+# (scipy/optimize/_lbfgsb_py.py:_minimize_lbfgsb)
+_LBFGSB_FTOL = 2.2204460492503131e-09
+_LBFGSB_FACTR = _LBFGSB_FTOL / np.finfo(float).eps
+
+
+def _direct_lbfgsb(fun_jac, x0, bounds, m=10, pgtol=1e-5, maxls=20,
+                   maxiter=15000, maxfun=15000) -> Optional[np.ndarray]:
+    """Drive scipy's L-BFGS-B routine (``setulb``) directly through its
+    reverse-communication loop, skipping the ``minimize`` wrapper's
+    ScalarFunction machinery (~40% of each call at SPOT's problem sizes,
+    measured). SAME compiled routine, same tolerances, same evaluation
+    sequence => bit-identical iterates — verified over hundreds of random
+    Grimshaw objectives against ``minimize`` (and guarded by the reference
+    parity tests). Returns None if the private API is unavailable (caller
+    falls back to ``minimize``)."""
+    if _scipy_lbfgsb is None:
+        return None
+    lo, hi = bounds
+    x = np.clip(np.asarray(x0, np.float64).ravel(), lo, hi).astype(np.float64)
+    n = x.size
+    low = np.full(n, lo, np.float64)
+    upp = np.full(n, hi, np.float64)
+    nbd = np.full(n, 2, np.int32)        # both-sided bounds
+    f = np.array(0.0, np.float64)
+    g = np.zeros(n, np.float64)
+    wa = np.zeros(2 * m * n + 5 * n + 11 * m * m + 8 * m, np.float64)
+    iwa = np.zeros(3 * n, np.int32)
+    task = np.zeros(2, np.int32)
+    ln_task = np.zeros(2, np.int32)
+    lsave = np.zeros(4, np.int32)
+    isave = np.zeros(44, np.int32)
+    dsave = np.zeros(29, np.float64)
+    n_iter = nfev = 0
+    while True:
+        _scipy_lbfgsb.setulb(
+            m, x, low, upp, nbd, f, g, _LBFGSB_FACTR, pgtol, wa, iwa, task,
+            lsave, isave, dsave, maxls, ln_task,
+        )
+        if task[0] == 3:                 # evaluate f, g at current x
+            fv, gv = fun_jac(x)
+            nfev += 1
+            f = np.asarray(fv, np.float64)
+            g = np.asarray(gv, np.float64)
+        elif task[0] == 1:               # new iteration
+            n_iter += 1
+            if n_iter >= maxiter:
+                task[0] = 5
+                task[1] = 504
+            elif nfev > maxfun:
+                task[0] = 5
+                task[1] = 502
+        else:
+            break
+    return x
+
 
 def _progress(iterable, total=None, desc: str = ""):
     """tqdm when available (the reference wraps its streaming loops in tqdm,
@@ -155,13 +216,16 @@ class SPOT:
                 j[i] = 2 * fx[i] * jx[i]
             return g, j
 
-        opt = minimize(
-            obj, X0, method="L-BFGS-B", jac=True, bounds=[bounds] * len(X0)
-        )
+        roots = _direct_lbfgsb(obj, X0, bounds)
+        if roots is None:                # private scipy API moved: fallback
+            roots = minimize(
+                obj, X0, method="L-BFGS-B", jac=True,
+                bounds=[bounds] * len(X0),
+            ).x
         # NOTE: the reference computes np.round(X, decimals=5) but discards
         # the result (spot.py:271) — the roots are used UNROUNDED. Kept
         # as-is: the chosen GPD root (and hence POT thresholds) depends on it.
-        return np.unique(opt.x)
+        return np.unique(roots)
 
     @staticmethod
     def _log_likelihood(Y: np.ndarray, gamma: float, sigma: float) -> float:
