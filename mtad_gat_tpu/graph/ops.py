@@ -296,6 +296,22 @@ def banded_attention_scan(
     steps = 2 * D + 1
     offs = jnp.arange(-D, D + 1)
 
+    # Banded bias in block-extractable form. The per-step block of the bias
+    # is bb[m, i, j] = band[m*B+i, d*B + j - i + W]: the column shift depends
+    # only on i (periodic in the block), so instead of a gather — measured
+    # at ~70% of the whole forward pass at N=4096/W=128 — the block is cut
+    # out with ONE dynamic column slice plus a flatten/reshape shear (row i
+    # of a (B, C) window starts at flat offset i*(C-1) + B-1, so slicing the
+    # flat array at stride C-1 IS the diagonal extraction). Zero gathers.
+    bias_blocks = None
+    if bias is not None and bias_storage == "band":
+        _PL = 2 * B                               # covers c0 under/overflow
+        bias_blocks = jnp.pad(
+            bias.astype(jnp.float32), ((0, pad), (0, 0))
+        ).reshape(M, B, 2 * bandwidth + 1)
+        bias_blocks = jnp.pad(bias_blocks, ((0, 0), (0, 0), (_PL, _PL)))
+    _C = 2 * B - 1                                # shear window width
+
     mi = jnp.arange(M) * B                          # block start rows
     li = jnp.arange(B)
     gi = mi[:, None] + li[None, :]                  # (M, B) global i
@@ -342,10 +358,16 @@ def banded_attention_scan(
 
         if bias is not None:
             if bias_storage == "band":
-                cols = jnp.clip(off + bandwidth, 0, 2 * bandwidth)  # (B, B)
-                bb = jnp.take_along_axis(
-                    bias[gi_c], jnp.broadcast_to(cols, (M, B, B)), axis=2
-                )
+                # shear extraction (see bias_blocks above): one dynamic
+                # column slice + static flatten/stride reshape, no gathers
+                c0 = d * B + bandwidth - (B - 1) + 2 * B
+                colwin = jax.lax.dynamic_slice_in_dim(
+                    bias_blocks, c0, _C, axis=2
+                )                                        # (M, B, C)
+                flat = colwin.reshape(M, B * _C)
+                bb = jax.lax.slice_in_dim(
+                    flat, B - 1, B - 1 + B * (_C - 1), axis=1
+                ).reshape(M, B, _C - 1)[:, :, :B]
             else:
                 gj_c = jnp.clip(gj, 0, n - 1)
                 bb = bias[gi_c[:, :, None], gj_c[:, None, :]]
