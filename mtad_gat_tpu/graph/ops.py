@@ -270,7 +270,13 @@ def banded_attention_scan(
     b, n = v.shape[0], v.shape[1]
     dv = v.shape[2]
     if block_size <= 0:
-        block_size = 128
+        # Measured on v5e (end-to-end long-window training): B=128 is best
+        # for W<=128 (1397/254 windows/s at lookback 1024/4096), B=64 for
+        # wide bands (W=256 attention fwd+bwd 21.5 ms vs 39.3 at B=128;
+        # lookback-8192 training 84 vs 72 windows/s) — smaller blocks waste
+        # less of the block-diagonal cover and keep the per-step
+        # (b, M, B, B, e) score intermediate VMEM-friendly.
+        block_size = 64 if bandwidth >= 192 else 128
     B = min(block_size, -(-n // 8) * 8)    # never larger than padded N
     M = -(-n // B)
     Np = M * B

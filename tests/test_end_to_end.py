@@ -91,3 +91,52 @@ def test_full_pipeline(smd_like_root, tmp_path):
         predict_cli.main()
     # numbered summary written alongside the original
     assert os.path.exists(os.path.join(save_path, "summary_1.txt"))
+
+
+def test_serve_cli_streams_records(smd_like_root, tmp_path, monkeypatch, capsys):
+    """serve.py end-to-end: train a run, then stream the test series through
+    the serving CLI from a CSV file and check the JSONL record stream
+    (chunked dispatch, epsilon alarm; no reference counterpart — the
+    reference cannot serve streams)."""
+    import sys
+
+    out_root = tmp_path / "output"
+    cfg = RunConfig(
+        dataset="SMD", group="1-1", lookback=20, epochs=1, bs=32,
+        gru_hid_dim=16, fc_hid_dim=16, fc_n_layers=1, recon_hid_dim=16,
+        log_tensorboard=False, data_root=str(smd_like_root),
+        output_root=str(out_root),
+    )
+    run_training(cfg, run_id="01012026_130000")
+
+    # stream = the processed test series as CSV rows
+    import pickle as _pickle
+
+    with open(os.path.join(
+        str(smd_like_root), "ServerMachineDataset", "processed",
+        "machine-1-1_test.pkl",
+    ), "rb") as f:
+        test_series = _pickle.load(f)[:120]
+    stream_csv = tmp_path / "stream.csv"
+    np.savetxt(stream_csv, test_series, delimiter=",")
+    out_jsonl = tmp_path / "records.jsonl"
+
+    from mtad_gat_tpu.cli import serve_cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "serve.py", "--dataset", "SMD", "--group", "1-1",
+        "--model_id", "01012026_130000",
+        "--data_root", str(smd_like_root), "--output_root", str(out_root),
+        "--input", str(stream_csv), "--output", str(out_jsonl),
+        "--chunk", "17", "--threshold_method", "epsilon",
+        "--log_tensorboard", "False",
+    ])
+    serve_cli.main()
+
+    records = [json.loads(line) for line in out_jsonl.read_text().splitlines()]
+    # window primed from the train tail => every streamed point is scored
+    assert len(records) == 120
+    assert all(np.isfinite(r["score"]) for r in records)
+    assert all(r["threshold"] == records[0]["threshold"] for r in records)
+    assert [r["t"] for r in records] == list(range(20, 140))
+    assert any(isinstance(r["is_anomaly"], bool) for r in records)
