@@ -87,8 +87,6 @@ class MTADGATConfig:
                 f"attention_impl must be dense|sparse|pallas|ring, "
                 f"got {self.attention_impl!r}"
             )
-        if self.attention_impl == "ring" and not self.use_gatv2:
-            raise ValueError("attention_impl='ring' requires use_gatv2=True")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"compute_dtype must be float32|bfloat16, "
@@ -113,13 +111,22 @@ class MTADGATConfig:
                 "is data-driven over features)"
             )
         if (
-            (fkind != "complete" or tkind != "complete")
-            and self.attention_impl not in ("dense", "sparse")
+            self.attention_impl == "ring" and not self.use_gatv2
+            and tkind != "band"
         ):
             raise ValueError(
-                "non-complete graph topologies run through the COO sparse "
-                "path; set attention_impl to 'dense' or 'sparse' "
-                f"(got {self.attention_impl!r})"
+                "attention_impl='ring' requires use_gatv2=True (the "
+                "complete-graph ring path is GATv2-only; banded temporal "
+                "graphs support both via halo exchange)"
+            )
+        if (
+            (fkind != "complete" or tkind != "complete")
+            and self.attention_impl not in ("dense", "sparse", "ring")
+        ):
+            raise ValueError(
+                "non-complete graph topologies run through the COO sparse, "
+                "banded-dense, or halo paths; set attention_impl to "
+                f"'dense', 'sparse', or 'ring' (got {self.attention_impl!r})"
             )
         if self.bias_storage not in ("full", "band"):
             raise ValueError(

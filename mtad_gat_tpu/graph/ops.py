@@ -249,6 +249,7 @@ def banded_attention_scan(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     bias_storage: str = "full",
+    key_valid: Optional[jax.Array] = None,   # (N,) bool: attendable keys
 ) -> jax.Array:
     """W-scalable banded attention: ``lax.scan`` over block-diagonal offsets
     with flash-attention-style online softmax (running max / denominator /
@@ -265,6 +266,12 @@ def banded_attention_scan(
     differ from the unrolled path's single draw — same rate, different
     stream (both are valid reference semantics: dropout on attention
     weights, ``modules.py:90``).
+
+    ``key_valid`` marks keys that may be attended at all (rows stay
+    addressable as queries) — the hook the sequence-parallel halo path uses
+    to invalidate out-of-sequence halo regions (parallel/banded_halo.py).
+    It travels in block layout and per-step block rolls, so it adds no
+    gathers.
     """
     gatv2 = a is not None
     b, n = v.shape[0], v.shape[1]
@@ -296,6 +303,10 @@ def banded_attention_scan(
         pB = padn(p.astype(jnp.float32)).reshape(b, M, B)
         qB = padn(q.astype(jnp.float32)).reshape(b, M, B)
     vB = padn(v).astype(jnp.float32).reshape(b, M, B, dv)
+    kvB = None
+    if key_valid is not None:
+        kv = jnp.pad(key_valid, (0, pad)) if pad else key_valid
+        kvB = kv.reshape(M, B)
 
     # block-offset range covering the band (clamped: |i-j| < N always)
     D = min(-(-bandwidth // B), M)
@@ -348,6 +359,8 @@ def banded_attention_scan(
             & (gj[:, None, :] >= 0) & (gj[:, None, :] < n)
             & (gi[:, :, None] < n)
         )                                            # (M, B, B)
+        if kvB is not None:
+            valid = valid & jnp.roll(kvB, -d, axis=0)[:, None, :]
 
         if gatv2:
             z = jax.nn.leaky_relu(

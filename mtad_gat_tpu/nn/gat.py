@@ -137,11 +137,44 @@ class _GATCore(nn.Module):
         if bias is not None and self.bias_storage == "band" and graph is not None:
             coo_bias = banded_bias_to_full(bias, self.n_nodes, self.band)
 
+        # Sequence-parallel banded attention: under impl="ring" with an
+        # active model-parallel mesh, a banded graph shards the node axis
+        # and exchanges W-row halos with neighbors (two fixed-size
+        # ppermutes per layer — stencil communication, not ring rotation:
+        # parallel/banded_halo.py). Falls through to the single-chip banded
+        # paths when no mesh is active or the band exceeds the shard block.
+        halo_mesh = None
+        if self.band is not None and self.impl == "ring":
+            from mtad_gat_tpu.parallel.sharding import current_mesh
+
+            m = current_mesh()
+            if m is not None and "model" in m.axis_names and m.shape["model"] > 1:
+                n_local = -(-self.n_nodes // m.shape["model"])
+                if self.band <= n_local:
+                    halo_mesh = m
+
+        def band_bias_rows():
+            # halo path consumes banded (N, 2W+1) rows; convert full storage
+            if bias is None or self.bias_storage == "band":
+                return bias
+            from mtad_gat_tpu.graph.ops import _banded_bias_cols
+
+            return _banded_bias_cols(bias, self.n_nodes, self.band, "full")
+
         if self.use_gatv2:
             # lin([v_i || v_j]) == v_i @ K_left + v_j @ K_right + b
             p = v @ kernel[:d].astype(cd)                       # query side (i)
             q = v @ kernel[d:].astype(cd) + lin_bias.astype(cd)  # key side (j)
-            if self.band is not None and self.impl == "dense":
+            if halo_mesh is not None:
+                from mtad_gat_tpu.parallel.banded_halo import banded_halo_attention
+
+                return banded_halo_attention(
+                    p, q, a_flat, band_bias_rows(), v, self.alpha, self.band,
+                    halo_mesh,
+                    dropout_rate=self.dropout if dropout_rng is not None else 0.0,
+                    dropout_rng=dropout_rng,
+                ).astype(cd)
+            if self.band is not None and self.impl in ("dense", "ring"):
                 banded = (
                     gatv2_banded_attention
                     if self.band <= BAND_UNROLL_CUTOFF
@@ -184,7 +217,7 @@ class _GATCore(nn.Module):
             scores = gatv2_scores_dense(p, q, a_flat, self.alpha)
         else:
             wx = v @ kernel.astype(cd) + lin_bias.astype(cd)     # (b, N, e)
-            if self.band is not None and self.impl == "dense":
+            if self.band is not None and self.impl in ("dense", "ring"):
                 # rank-1 GATv1 scores: precompute the two halves once
                 u = jnp.einsum(
                     "bne,e->bn", wx, a_flat[:e],
@@ -197,8 +230,17 @@ class _GATCore(nn.Module):
                 kw = dict(
                     dropout_rate=self.dropout if dropout_rng is not None else 0.0,
                     dropout_rng=dropout_rng,
-                    bias_storage=self.bias_storage,
                 )
+                if halo_mesh is not None:
+                    from mtad_gat_tpu.parallel.banded_halo import (
+                        banded_halo_attention,
+                    )
+
+                    return banded_halo_attention(
+                        u, w, None, band_bias_rows(), v, self.alpha,
+                        self.band, halo_mesh, **kw
+                    ).astype(cd)
+                kw["bias_storage"] = self.bias_storage
                 if self.band <= BAND_UNROLL_CUTOFF:
                     return gatv1_banded_attention(
                         u, w, bias, v, self.alpha, self.band, **kw
@@ -293,11 +335,11 @@ class TemporalAttention(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         kind, param = parse_graph_spec(self.graph_spec)
         band = param if kind == "band" else None
-        # COO edge list needed only when the banded-dense fast paths do not
-        # apply (impl="sparse", the oracle path)
+        # COO edge list needed only when the banded-dense/halo fast paths do
+        # not apply (impl="sparse", the oracle path)
         edges = (
             banded_edges(self.window_size, param)
-            if kind == "band" and self.impl != "dense"
+            if kind == "band" and self.impl == "sparse"
             else None
         )
         e = self.embed_dim if self.embed_dim is not None else self.n_features

@@ -587,3 +587,77 @@ def test_banded_scan_trains_on_mesh_matches_single_device():
 
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=1e-5)
+
+
+def test_banded_halo_model_on_mesh_matches_single_device_dense():
+    """Sequence-parallel banded attention (attention_impl='ring' + band:W,
+    parallel/banded_halo.py): the model trained on the 8-device mesh with
+    the node axis sharded + W-row halo exchange must match the
+    single-device dense banded model (deterministic step; dropout streams
+    differ by design)."""
+    import dataclasses
+    import tempfile
+
+    from mtad_gat_tpu.config import TrainConfig
+    from mtad_gat_tpu.data.windows import batched_starts
+    from mtad_gat_tpu.parallel import make_mesh
+    from mtad_gat_tpu.training import Trainer
+
+    base = MTADGATConfig(
+        n_features=6, window_size=48, out_dim=6, kernel_size=7,
+        gru_hid_dim=8, forecast_hid_dim=8, forecast_n_layers=1,
+        recon_hid_dim=8, recon_n_layers=1, dropout=0.0,
+        temporal_graph="band:9", bias_storage="band",
+    )
+    tcfg = TrainConfig(epochs=1, val_split=0.0, bs=8, init_lr=1e-3,
+                       log_tensorboard=False, seed=0)
+    rng = np.random.default_rng(0)
+    series = jnp.asarray(rng.standard_normal((120, 6)), jnp.float32)
+    starts, mask, _ = batched_starts(16, 8)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t_dense = Trainer(base, tcfg, save_path="", log_dir=tmp, mesh=None)
+        s0 = t_dense.init_state()
+        _, (f0, r0) = t_dense._epoch_train(s0, series, starts, mask)
+
+        mesh = make_mesh(8)   # {'data': 2, 'model': 4}; W=9 <= 48/4
+        ring_cfg = dataclasses.replace(base, attention_impl="ring")
+        t_halo = Trainer(ring_cfg, tcfg, save_path="", log_dir=tmp, mesh=mesh)
+        s1 = t_halo.init_state()
+        _, (f1, r1) = t_halo._epoch_train(s1, series, starts, mask)
+
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=1e-5)
+
+
+@pytest.mark.parametrize("use_gatv2", [True, False])
+def test_banded_halo_layer_matches_dense(use_gatv2):
+    """Layer-level halo parity under the farm mesh for both GAT versions,
+    full-bias storage (converted to banded rows inside the layer), W not
+    dividing the shard block."""
+    from mtad_gat_tpu.nn import TemporalAttention
+    from mtad_gat_tpu.parallel import make_mesh, use_mesh
+
+    n, k = 40, 5
+    layer_r = TemporalAttention(
+        n_features=k, window_size=n, dropout=0.0, alpha=0.2,
+        use_gatv2=use_gatv2, graph_spec="band:7", impl="ring",
+    )
+    layer_d = TemporalAttention(
+        n_features=k, window_size=n, dropout=0.0, alpha=0.2,
+        use_gatv2=use_gatv2, graph_spec="band:7", impl="dense",
+    )
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, n, k)), jnp.float32)
+    params = layer_d.init(jax.random.PRNGKey(0), x)["params"]
+    # non-zero bias so the banded-rows conversion path is exercised
+    params["core"]["bias"] = jnp.asarray(
+        rng.standard_normal(params["core"]["bias"].shape), jnp.float32
+    )
+    want = layer_d.apply({"params": params}, x)
+    mesh = make_mesh(8)
+    with use_mesh(mesh):
+        got = jax.jit(
+            lambda pr, xx: layer_r.apply({"params": pr}, xx)
+        )(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
