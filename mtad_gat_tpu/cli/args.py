@@ -93,6 +93,11 @@ def get_parser() -> argparse.ArgumentParser:
                              "(N,N) reference-style matrix, or 'band' (N,2W+1) "
                              "diagonal band of a band:W temporal graph — "
                              "O(N*W) memory, required for long lookbacks")
+    parser.add_argument("--compile_cache", type=str, default="default",
+                        help="persistent XLA compilation cache directory "
+                             "('default' = ~/.cache/mtad_gat_tpu/xla, '' = "
+                             "off); repeated runs skip the 20-100s first "
+                             "compile")
     parser.add_argument("--data_root", type=str, default="datasets")
     parser.add_argument("--output_root", type=str, default="output")
 

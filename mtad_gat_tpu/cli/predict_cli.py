@@ -45,6 +45,9 @@ def main() -> None:
                         help="import a reference PyTorch model.pt instead of "
                              "the run's model.msgpack (migration path)")
     args = parser.parse_args()
+    from mtad_gat_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(getattr(args, "compile_cache", "default"))
 
     dataset = args.dataset
     if dataset == "SMD":

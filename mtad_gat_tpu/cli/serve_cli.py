@@ -113,6 +113,9 @@ def main() -> None:
                         help="points per jitted dispatch (1 = lowest "
                              "latency; larger = higher throughput)")
     args = parser.parse_args()
+    from mtad_gat_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(getattr(args, "compile_cache", "default"))
 
     dataset = args.dataset
     if dataset == "SMD":

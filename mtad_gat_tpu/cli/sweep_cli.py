@@ -195,6 +195,9 @@ def main() -> None:
                              "whereas the sequential sweep builds a per-entity "
                              "graph — same flags, different topology")
     args = parser.parse_args()
+    from mtad_gat_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(getattr(args, "compile_cache", "default"))
     cfg = to_run_config(args)
     groups = [g for g in args.groups.split(",") if g] or None
     if args.batched:

@@ -199,6 +199,9 @@ def main() -> None:
     parser.add_argument("--init_from_torch", type=str, default="",
                         help="warm-start from a reference PyTorch model.pt")
     args = parser.parse_args()
+    from mtad_gat_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(getattr(args, "compile_cache", "default"))
     cfg = to_run_config(args)
     run_training(
         cfg,
