@@ -111,6 +111,9 @@ def bench_config(lookback: int, band: int, bs: int, batches: int,
 
 
 def main() -> None:
+    from mtad_gat_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache("default")
     only = [int(a) for a in sys.argv[1:]] or None
     for lookback, band, bs, batches in CONFIGS:
         if only and lookback not in only:

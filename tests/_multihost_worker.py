@@ -78,8 +78,25 @@ def main() -> None:
     trainer.init_state()
     trainer.fit(series)
 
+    # sequence-parallel banded attention across REAL process boundaries:
+    # the W-row halo ppermutes cross the jax.distributed process group
+    # (parallel/banded_halo.py); deterministic so losses compare exactly
+    import dataclasses
+    import tempfile
+
+    halo_cfg = dataclasses.replace(
+        cfg, temporal_graph="band:3", bias_storage="band",
+        attention_impl="ring", dropout=0.0,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        halo_trainer = Trainer(halo_cfg, tcfg, save_path="", log_dir=tmp,
+                               mesh=mesh)
+        halo_trainer.init_state()
+        halo_trainer.fit(series)
+
     with open(f"{out_path}.p{pid}", "w") as f:
         json.dump({"losses": trainer.losses, "mesh": dict(mesh.shape),
+                   "halo_losses": halo_trainer.losses,
                    "process_count": jax.process_count(),
                    "is_primary": multihost.is_primary(),
                    "run_dir_files": sorted(os.listdir(run_dir))}, f)

@@ -83,6 +83,13 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert two[0]["losses"] == two[1]["losses"]
     # and the 2-process run is bit-for-bit the single-process run
     assert two[0]["losses"] == one[0]["losses"]
+
+    # sequence-parallel banded attention ACROSS the real process boundary:
+    # halo ppermutes cross the jax.distributed group and still reproduce
+    # the single-process run exactly (deterministic config)
+    assert two[0]["halo_losses"] == two[1]["halo_losses"]
+    assert two[0]["halo_losses"] == one[0]["halo_losses"]
+    assert len(two[0]["halo_losses"]["train_total"]) == 2
     # sanity: training actually progressed (2 epochs of 6 loss series)
     assert len(two[0]["losses"]["train_total"]) == 2
     assert all(len(v) == 2 for v in two[0]["losses"].values())
