@@ -34,6 +34,19 @@ def main() -> None:
     plotter.plot_all_features(save_path=os.path.join(out, "all_features.png"))
     plotter.plot_global_predictions(save_path=os.path.join(out, "global_predictions.png"))
     plotter.plot_anomaly_segments(save_path=os.path.join(out, "anomaly_segments.png"))
+    # interactive figures (range slider; embedded-spec HTML works without
+    # the plotly library — reference plotting.py:154-287,460-493)
+    try:
+        plotter.write_plotly_html(
+            plotter.plotly_feature_figure(args.feature),
+            os.path.join(out, f"feature_{args.feature}.html"),
+        )
+        plotter.write_plotly_html(
+            plotter.plotly_global_figure(),
+            os.path.join(out, "global_predictions.html"),
+        )
+    except Exception as e:
+        print(f"interactive figures skipped: {e}")
     print(f"plots written to {out}")
 
 
