@@ -1,6 +1,7 @@
 from mtad_gat_tpu.inference.eval_methods import (
     adjust_predicts,
     calc_point2point,
+    calc_seq,
     bf_search,
     epsilon_eval,
     find_epsilon,
@@ -13,6 +14,7 @@ from mtad_gat_tpu.inference.online import OnlineScorer
 __all__ = [
     "adjust_predicts",
     "calc_point2point",
+    "calc_seq",
     "bf_search",
     "epsilon_eval",
     "find_epsilon",

@@ -96,6 +96,14 @@ def calc_point2point(predict: np.ndarray, actual: np.ndarray):
     return f1, precision, recall, TP, TN, FP, FN
 
 
+def calc_seq(score: np.ndarray, label: np.ndarray, threshold: float):
+    """Point-adjusted metrics + latency at one threshold (reference
+    ``eval_methods.py:160-163``): returns
+    ``((f1, precision, recall, TP, TN, FP, FN), latency)``."""
+    predict, latency = adjust_predicts(score, label, threshold, calc_latency=True)
+    return calc_point2point(predict, label), latency
+
+
 def pot_eval(
     init_score: np.ndarray,
     score: np.ndarray,

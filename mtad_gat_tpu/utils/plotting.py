@@ -50,6 +50,30 @@ def plot_losses(losses: dict, save_path: str = "", plot: bool = False) -> None:
     plt.close()
 
 
+def get_series_color(y) -> str:
+    """Series color for segment plots (reference ``utils.py:192-199`` —
+    which, quirk preserved, returns "black" on every branch)."""
+    y = np.asarray(y)
+    if np.average(y) >= 0.95:
+        return "black"
+    elif np.average(y) == 0.0:
+        return "black"
+    else:
+        return "black"
+
+
+def get_y_height(y) -> float:
+    """Y-axis height for a segment plot (reference ``utils.py:201-208``):
+    1.5 for near-constant-high series, 0.1 for all-zero, else max + 0.1."""
+    y = np.asarray(y)
+    if np.average(y) >= 0.95:
+        return 1.5
+    elif np.average(y) == 0.0:
+        return 0.1
+    else:
+        return float(np.max(y) + 0.1)
+
+
 def get_anomaly_sequences(values: np.ndarray) -> List[List[int]]:
     """Contiguous [start, end] anomaly segments from a 0/1 vector
     (reference ``plotting.py:93-152`` helper semantics)."""

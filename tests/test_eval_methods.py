@@ -246,3 +246,36 @@ def test_spot_dynamic_fast_equals_step_loop():
     assert all(float(u) == float(v) for u, v in zip(r["thresholds"], th))
     assert a.Nt == b.Nt and a.n == b.n
     assert float(a.extreme_quantile) == float(b.extreme_quantile)
+
+
+@requires_reference
+def test_calc_seq_parity():
+    """calc_seq (reference eval_methods.py:160-163): point-adjusted metric
+    tuple + latency at a single threshold."""
+    import eval_methods as ref_eval
+
+    from mtad_gat_tpu.inference import calc_seq
+
+    rng = np.random.default_rng(11)
+    score, label = _random_case(rng, n=600)
+    th = float(np.quantile(score, 0.9))
+    (ours_m, ours_lat) = calc_seq(score, label, th)
+    (ref_m, ref_lat) = ref_eval.calc_seq(score, label, th)
+    np.testing.assert_allclose(np.asarray(ours_m), np.asarray(ref_m), rtol=1e-12)
+    assert ours_lat == pytest.approx(ref_lat, rel=1e-12)
+
+
+@requires_reference
+def test_series_color_height_parity():
+    """get_series_color / get_y_height (reference utils.py:192-208),
+    including the all-branches-return-black quirk."""
+    import utils as ref_utils
+
+    from mtad_gat_tpu.utils.plotting import get_series_color, get_y_height
+
+    rng = np.random.default_rng(12)
+    cases = [np.ones(50), np.zeros(50), rng.random(50), np.full(50, 0.96),
+             rng.random(50) * 3]
+    for y in cases:
+        assert get_series_color(y) == ref_utils.get_series_color(y)
+        assert get_y_height(y) == pytest.approx(ref_utils.get_y_height(y))
