@@ -199,3 +199,24 @@ def test_resume_is_bit_exact(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # and the loss histories line up for the resumed epochs
     assert tr_b.losses["train_total"] == tr_full.losses["train_total"][1:]
+
+
+def test_compile_cache_toggle(tmp_path):
+    """enable_compile_cache: explicit dir is applied to the jax config,
+    empty string is a no-op, failures degrade silently (the cache is an
+    optimization, never a requirement)."""
+    import os
+
+    from mtad_gat_tpu.utils.compile_cache import enable_compile_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        target = str(tmp_path / "xla_cache")
+        enable_compile_cache(target)
+        assert jax.config.jax_compilation_cache_dir == target
+        assert os.path.isdir(target)
+
+        enable_compile_cache("")      # no-op: config unchanged
+        assert jax.config.jax_compilation_cache_dir == target
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
