@@ -11,11 +11,10 @@ from __future__ import annotations
 import os
 from datetime import datetime
 
-from mtad_gat_tpu.cli.args import get_parser, str2bool, to_run_config
+from mtad_gat_tpu.cli.args import get_parser, str2bool
 from mtad_gat_tpu.config import RunConfig, lookup_pot_params
 from mtad_gat_tpu.data import get_data, get_target_dims
 from mtad_gat_tpu.inference import Predictor
-from mtad_gat_tpu.models import MTADGAT
 from mtad_gat_tpu.training import Trainer
 
 

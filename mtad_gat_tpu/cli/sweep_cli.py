@@ -10,7 +10,6 @@ compiles once and the remaining 27 entities pay zero compile time.
 
 from __future__ import annotations
 
-import argparse
 import json
 import os
 from typing import Dict, List, Optional

@@ -13,8 +13,6 @@ from __future__ import annotations
 import os
 from datetime import datetime
 
-import numpy as np
-
 from mtad_gat_tpu.cli.args import get_parser, to_run_config
 from mtad_gat_tpu.config import RunConfig, lookup_pot_params
 from mtad_gat_tpu.data import get_data, get_target_dims

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-from functools import partial
 from typing import Dict, Optional, Sequence
 
 import jax
