@@ -68,12 +68,14 @@ def _train_scores(model_path: str, trainer, x_train, cfg, n_features,
 
 def _stream_chunks(source, n_features: int, chunk: int):
     """Yield (chunk, n_features) float32 arrays from a CSV stream. '-' =
-    stdin (line-buffered: a chunk is emitted as soon as `chunk` lines are
-    read, so piped live streams serve incrementally)."""
+    stdin (a chunk is emitted as soon as `chunk` lines are read, so piped
+    live streams serve incrementally — readline() rather than iterating the
+    file object, whose read-ahead buffering would delay live low-latency
+    streams)."""
     fh = sys.stdin if source == "-" else open(source)
     rows = []
     try:
-        for line in fh:
+        for line in iter(fh.readline, ""):
             line = line.strip()
             if not line:
                 continue
