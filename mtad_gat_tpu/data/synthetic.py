@@ -54,3 +54,61 @@ def synthetic_series(
         labels[start : start + seg_len] = 1
 
     return train, test, labels
+
+
+def write_smd_like(
+    data_root: str,
+    group: str = "1-1",
+    n_train: int = 2000,
+    n_test: int = 1000,
+    n_features: int = 38,
+    anomaly_segments: int = 4,
+    seed: int = 0,
+) -> str:
+    """Write a synthetic entity in the SMD processed-pickle layout so the
+    whole pipeline (train/predict/sweep/serve) runs out of the box with no
+    real datasets. Returns the processed directory."""
+    import os
+    import pickle
+
+    train, test, labels = synthetic_series(
+        n_train, n_test, n_features, anomaly_segments, seed
+    )
+    proc = os.path.join(data_root, "ServerMachineDataset", "processed")
+    os.makedirs(proc, exist_ok=True)
+    for name, arr in [
+        (f"machine-{group}_train.pkl", train),
+        (f"machine-{group}_test.pkl", test),
+        (f"machine-{group}_test_label.pkl", labels.astype("float32")),
+    ]:
+        with open(os.path.join(proc, name), "wb") as f:
+            pickle.dump(arr, f)
+    return proc
+
+
+def main() -> None:
+    """``python -m mtad_gat_tpu.data.synthetic --data_root datasets``:
+    generate demo entities so the quick-start commands work with no real
+    data downloads."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--data_root", type=str, default="datasets")
+    p.add_argument("--groups", type=str, default="1-1",
+                   help="comma-separated SMD-style group ids")
+    p.add_argument("--n_train", type=int, default=2000)
+    p.add_argument("--n_test", type=int, default=1000)
+    p.add_argument("--n_features", type=int, default=38)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    for i, g in enumerate(x for x in args.groups.split(",") if x):
+        proc = write_smd_like(
+            args.data_root, group=g, n_train=args.n_train,
+            n_test=args.n_test, n_features=args.n_features,
+            seed=args.seed + i,
+        )
+        print(f"wrote machine-{g} to {proc}")
+
+
+if __name__ == "__main__":
+    main()

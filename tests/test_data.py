@@ -107,3 +107,24 @@ def test_preprocess_smd(tmp_path):
     np.testing.assert_allclose(x_train, train, atol=1e-5)
     np.testing.assert_allclose(x_test, test, atol=1e-5)
     np.testing.assert_array_equal(y_test, labels)
+
+
+def test_write_smd_like_runs_pipeline_shapes(tmp_path):
+    """The synthetic-data CLI writes SMD-layout pickles that get_data loads
+    directly (the no-downloads quick-start path)."""
+    import pickle
+
+    from mtad_gat_tpu.data.loading import get_data
+    from mtad_gat_tpu.data.synthetic import write_smd_like
+
+    # SMD entities are pinned to 38 features (reference utils.py:25-37)
+    proc = write_smd_like(str(tmp_path), group="2-3", n_train=300,
+                          n_test=200, n_features=38)
+    assert os.path.isdir(proc)
+    (x_train, _), (x_test, y_test) = get_data(
+        "machine-2-3", data_root=str(tmp_path), normalize=True
+    )
+    assert x_train.shape == (300, 38)
+    assert x_test.shape == (200, 38)
+    assert y_test.shape == (200,)
+    assert y_test.sum() > 0          # injected anomalies present
