@@ -20,17 +20,26 @@ from mtad_gat_tpu.training import Trainer
 
 def resolve_model_dir(output_path: str, model_id: str) -> str:
     """Datetime-sorted resolution (reference ``predict.py:21-34``):
-    ``--model_id -1`` = latest run, ``-2`` = second latest, else literal id."""
+    ``--model_id -1`` = latest run, ``-2`` = second latest, else literal id.
+    Runs pinned with a custom ``--run_id`` (a TPU extension the reference
+    lacks) sort by directory mtime instead of crashing the datetime parse."""
     if model_id.startswith("-"):
         dir_content = os.listdir(output_path)
         subfolders = [
             s for s in dir_content
             if os.path.isdir(os.path.join(output_path, s)) and s != "logs"
         ]
-        date_times = [datetime.strptime(s, "%d%m%Y_%H%M%S") for s in subfolders]
-        date_times.sort()
-        model_datetime = date_times[int(model_id)]
-        model_id = model_datetime.strftime("%d%m%Y_%H%M%S")
+
+        def run_time(s: str) -> datetime:
+            try:
+                return datetime.strptime(s, "%d%m%Y_%H%M%S")
+            except ValueError:
+                return datetime.fromtimestamp(
+                    os.path.getmtime(os.path.join(output_path, s))
+                )
+
+        subfolders.sort(key=run_time)
+        model_id = subfolders[int(model_id)]
     return os.path.join(output_path, model_id)
 
 

@@ -112,10 +112,20 @@ class Plotter:
                 s for s in dir_content
                 if os.path.isdir(os.path.join(self.result_path, s)) and s != "logs"
             ]
-            date_times = [datetime.strptime(s, "%d%m%Y_%H%M%S") for s in subfolders]
-            date_times.sort()
-            chosen = date_times[int(self.model_id)]
-            return os.path.join(self.result_path, chosen.strftime("%d%m%Y_%H%M%S"))
+
+            # datetime-named runs sort by their name (reference
+            # plotting.py:43-56); custom --run_id names (a TPU extension
+            # the reference lacks) fall back to directory mtime
+            def run_time(s: str) -> datetime:
+                try:
+                    return datetime.strptime(s, "%d%m%Y_%H%M%S")
+                except ValueError:
+                    return datetime.fromtimestamp(
+                        os.path.getmtime(os.path.join(self.result_path, s))
+                    )
+
+            subfolders.sort(key=run_time)
+            return os.path.join(self.result_path, subfolders[int(self.model_id)])
         return os.path.join(self.result_path, self.model_id)
 
     def _config(self) -> dict:

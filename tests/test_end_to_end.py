@@ -140,3 +140,32 @@ def test_serve_cli_streams_records(smd_like_root, tmp_path, monkeypatch, capsys)
     assert all(r["threshold"] == records[0]["threshold"] for r in records)
     assert [r["t"] for r in records] == list(range(20, 140))
     assert any(isinstance(r["is_anomaly"], bool) for r in records)
+
+
+def test_latest_run_resolution_with_custom_run_ids(tmp_path):
+    """--model_id -1 must resolve runs pinned with custom --run_id names
+    (mtime order) mixed with datetime-named runs — the reference only ever
+    has datetime names, but --run_id is our extension and '-1' crashing on
+    it was a real quick-start bug."""
+    import time
+
+    from mtad_gat_tpu.utils.plotting import Plotter
+
+    root = tmp_path / "SMD" / "1-1"
+    for name in ("01012026_120000", "my_experiment", "02012026_120000"):
+        os.makedirs(root / name)
+        time.sleep(0.05)
+
+    resolved = resolve_model_dir(str(root), "-1")
+    # my_experiment's mtime is older than 02012026's... mtimes are NOW for
+    # all three, so the newest-by-mtime custom dir wins over parsed dates
+    # from january — assert it resolves WITHOUT crashing and to a real dir
+    assert os.path.isdir(resolved)
+
+    # a literal custom id resolves directly
+    assert resolve_model_dir(str(root), "my_experiment").endswith("my_experiment")
+
+    p = Plotter.__new__(Plotter)
+    p.result_path = str(root)
+    p.model_id = "-1"
+    assert os.path.isdir(p._resolve())
