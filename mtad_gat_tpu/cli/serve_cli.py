@@ -127,15 +127,25 @@ def main() -> None:
     model_path = resolve_model_dir(output_path, args.model_id)
     cfg = RunConfig.load(os.path.join(model_path, "config.txt"))
 
-    if dataset == "SMD":
-        (x_train, _), _ = get_data(
-            f"machine-{cfg.group[0]}-{cfg.group[2:]}",
-            data_root=args.data_root, normalize=cfg.normalize,
+    entity = (
+        f"machine-{cfg.group[0]}-{cfg.group[2:]}" if dataset == "SMD" else dataset
+    )
+    (x_train, _), _ = get_data(
+        entity, data_root=args.data_root, normalize=cfg.normalize
+    )
+    # The model consumes NORMALIZED inputs (MinMaxScaler fit on train,
+    # reference utils.py:97-99); incoming stream points are raw sensor
+    # values, so refit the SAME train scaler and apply it per chunk —
+    # otherwise streamed scores are on a different scale than the
+    # calibration scores (found by driving the quick start end-to-end).
+    scaler = None
+    if cfg.normalize:
+        from mtad_gat_tpu.data.loading import normalize_data
+
+        (raw_train, _), _ = get_data(
+            entity, data_root=args.data_root, normalize=False
         )
-    else:
-        (x_train, _), _ = get_data(
-            dataset, data_root=args.data_root, normalize=cfg.normalize
-        )
+        _, scaler = normalize_data(raw_train)
     n_features = x_train.shape[1]
     target_dims = get_target_dims(dataset)
     out_dim = n_features if target_dims is None else len(target_dims)
@@ -175,6 +185,11 @@ def main() -> None:
     n_pts = n_alarms = 0
     try:
         for batch in _stream_chunks(args.input, n_features, max(1, args.chunk)):
+            if scaler is not None:
+                batch = np.nan_to_num(
+                    np.asarray(batch, np.float32)
+                )
+                batch = scaler.transform(batch)
             for rec in scorer.update_many(batch):
                 n_pts += 1
                 n_alarms += bool(rec.get("is_anomaly"))

@@ -141,6 +141,20 @@ def test_serve_cli_streams_records(smd_like_root, tmp_path, monkeypatch, capsys)
     assert [r["t"] for r in records] == list(range(20, 140))
     assert any(isinstance(r["is_anomaly"], bool) for r in records)
 
+    # normalization parity: the CLI applies the train-fitted scaler to the
+    # RAW stream, so streamed scores must equal the offline pipeline's
+    # (serve record i scores test point i thanks to train-tail priming;
+    # offline row j scores test point j+lookback)
+    import pandas as pd
+
+    test_df = pd.read_pickle(
+        os.path.join(str(out_root), "SMD", "1-1", "01012026_130000",
+                     "test_output.pkl")
+    )
+    offline = test_df["A_Score_Global"].to_numpy()
+    streamed = np.array([r["score"] for r in records])
+    np.testing.assert_allclose(streamed[20:], offline[:100], atol=1e-5)
+
 
 def test_latest_run_resolution_with_custom_run_ids(tmp_path):
     """--model_id -1 must resolve runs pinned with custom --run_id names
