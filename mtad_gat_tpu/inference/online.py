@@ -61,6 +61,11 @@ class OnlineScorer:
     causal streaming form). A threshold fitted on scaled/smoothed offline
     train scores would be miscalibrated against the raw streaming scores —
     fit it on raw offline scores (docs/MIGRATION.md).
+
+    Inputs must be on the TRAINING scale: if the model was trained on
+    normalized data (the pipeline default), apply the train-fitted
+    MinMaxScaler to each incoming point before ``update`` — the ``serve.py``
+    CLI does this automatically (cli/serve_cli.py).
     """
 
     def __init__(
