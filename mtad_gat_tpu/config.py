@@ -119,6 +119,13 @@ class MTADGATConfig:
                 "complete-graph ring path is GATv2-only; banded temporal "
                 "graphs support both via halo exchange)"
             )
+        if self.attention_impl == "pallas" and not self.use_gatv2:
+            raise ValueError(
+                "attention_impl='pallas' requires use_gatv2=True (the fused "
+                "kernel implements GATv2 scoring only; with use_gatv2=False "
+                "use 'dense' or 'sparse' — previously this combination "
+                "silently ran the dense path)"
+            )
         if (
             (fkind != "complete" or tkind != "complete")
             and self.attention_impl not in ("dense", "sparse", "ring")

@@ -55,12 +55,17 @@ class OnlineScorer:
     host round-trip per chunk instead of per point — the high-throughput
     serving path).
 
-    LIMITATION: streaming scores equal the offline ``Predictor.get_score``
-    only with ``scale_scores=False`` and ``use_mov_av=False`` (the offline
-    median/IQR scaling and EWM smoothing are whole-series operations with no
-    causal streaming form). A threshold fitted on scaled/smoothed offline
-    train scores would be miscalibrated against the raw streaming scores —
-    fit it on raw offline scores (docs/MIGRATION.md).
+    ``use_mov_av`` runs ARE served exactly: the offline EWM smoothing
+    (pandas ``ewm(span).mean()``, reference ``prediction.py:132-135``) is a
+    one-pole recursive filter whose adjust-mode weights depend only on past
+    points — pass ``smoothing_span`` and the scorer streams it with two
+    scalars of state, record-exact vs the offline ``Predictor._smooth``
+    (tested, including the warmup prefix).
+
+    LIMITATION: ``scale_scores=True`` has no causal streaming form (the
+    median/IQR are whole-series statistics). A threshold fitted on scaled
+    offline train scores would be miscalibrated against the raw streaming
+    scores — fit it on raw offline scores (docs/MIGRATION.md).
 
     Inputs must be on the TRAINING scale: if the model was trained on
     normalized data (the pipeline default), apply the train-fitted
@@ -76,6 +81,7 @@ class OnlineScorer:
         n_features: int,
         target_dims: Optional[Sequence[int]] = None,
         gamma: float = 1.0,
+        smoothing_span: Optional[int] = None,
     ):
         self.model = model
         self.params = params
@@ -83,6 +89,14 @@ class OnlineScorer:
         self.n_features = n_features
         self.target_dims = None if target_dims is None else list(target_dims)
         self.gamma = gamma
+        if smoothing_span is not None and smoothing_span < 1:
+            raise ValueError(f"smoothing_span must be >= 1, got {smoothing_span}")
+        self.smoothing_span = smoothing_span
+        # pandas ewm(adjust=True) state: (weighted_avg, old_wt); the stream's
+        # EWM restarts at the first scoreable record, mirroring the offline
+        # smoother running over scores[window:]
+        self._ewm_avg: Optional[float] = None
+        self._ewm_old_wt = 1.0
         self.out_dim = (
             n_features if self.target_dims is None else len(self.target_dims)
         )
@@ -124,16 +138,27 @@ class OnlineScorer:
             return one_point(params, buffer, pending, x)
 
         @partial(jax.jit, donate_argnums=(1, 2))
-        def step_chunk(params, buffer, pending, xs):
+        def step_chunk(params, buffer, pending, xs, n_valid):
             # K points per dispatch: the ring buffer + pending forecast are
             # the scan carry, so the chunk is bit-equivalent to K single
-            # steps while paying ONE dispatch + ONE host fetch per chunk
-            def body(carry, x):
+            # steps while paying ONE dispatch + ONE host fetch per chunk.
+            # n_valid (a traced scalar — changing it does NOT recompile)
+            # masks trailing pad rows: their carry updates are discarded, so
+            # a partial chunk padded up to the compiled size leaves the ring
+            # buffer/pending forecast exactly as the unpadded chunk would.
+            def body(carry, inp):
+                i, x = inp
                 buf, pend = carry
-                buf, forecast, outs = one_point(params, buf, pend, x)
+                new_buf, forecast, outs = one_point(params, buf, pend, x)
+                valid = i < n_valid
+                buf = jnp.where(valid, new_buf, buf)
+                forecast = jnp.where(valid, forecast, pend)
                 return (buf, forecast), outs
 
-            (buffer, pending), outs = jax.lax.scan(body, (buffer, pending), xs)
+            idx = jnp.arange(xs.shape[0])
+            (buffer, pending), outs = jax.lax.scan(
+                body, (buffer, pending), (idx, xs)
+            )
             return buffer, pending, outs
 
         self._step = step
@@ -187,12 +212,40 @@ class OnlineScorer:
                 "a_score": a_score,
                 "score": global_score,
             }
-            self._apply_threshold(record)
+            self._finalize(record)
 
         # forecast emitted by the window ending at this point predicts the
         # NEXT point; hold it ON DEVICE until that point arrives
         self._pending_forecast = forecast
         return record
+
+    def _smooth_score(self, score: float) -> float:
+        """Streaming EWM, bit-exact to pandas ``ewm(span, adjust=True).mean()``
+        (the offline ``Predictor._smooth`` / reference ``prediction.py:132-135``).
+        Replicates pandas' exact recursion (pandas ``_libs/window/
+        aggregations.pyx::ewm``): carry (weighted_avg, old_wt); per point
+        ``old_wt *= 1-alpha``; ``avg = (old_wt*avg + cur) / (old_wt + 1)``
+        unless ``avg == cur`` (pandas skips the update to avoid rounding);
+        ``old_wt += 1``."""
+        if self._ewm_avg is None:
+            self._ewm_avg = float(score)
+            self._ewm_old_wt = 1.0
+            return self._ewm_avg
+        alpha = 2.0 / (self.smoothing_span + 1.0)
+        self._ewm_old_wt *= 1.0 - alpha
+        cur = float(score)
+        if self._ewm_avg != cur:
+            self._ewm_avg = (self._ewm_old_wt * self._ewm_avg + cur) / (
+                self._ewm_old_wt + 1.0
+            )
+        self._ewm_old_wt += 1.0
+        return self._ewm_avg
+
+    def _finalize(self, record: Dict) -> None:
+        if self.smoothing_span is not None:
+            record["score_raw"] = record["score"]
+            record["score"] = self._smooth_score(record["score"])
+        self._apply_threshold(record)
 
     def _apply_threshold(self, record: Dict) -> None:
         # strict > matches the offline evaluation convention
@@ -204,26 +257,43 @@ class OnlineScorer:
             record["is_anomaly"] = self._spot.step(record["score"])
             record["threshold"] = float(self._spot.extreme_quantile)
 
-    def update_many(self, xs: np.ndarray) -> list:
+    def update_many(self, xs: np.ndarray, pad_to: Optional[int] = None) -> list:
         """Feed a chunk of observations (T, n_features) through ONE jitted
         ``lax.scan`` dispatch; returns the list of scoreable records — the
         same records the per-point ``update`` loop would produce (tested),
         at one dispatch + one host fetch per CHUNK. This is the
         high-throughput serving path (measured on hardware in
         docs/PERFORMANCE.md); per-point ``update`` remains the low-latency
-        path."""
+        path.
+
+        ``pad_to`` zero-pads a shorter chunk up to that length before the
+        dispatch: every chunk then hits the SAME compiled program (XLA
+        recompiles per distinct scan length — a live stream's variable
+        chunk sizes would otherwise stall mid-stream on multi-second
+        compiles). Pad rows are masked out of the carry inside the scan and
+        dropped from the returned records, so results are identical to the
+        unpadded call (tested)."""
         xs = np.asarray(xs, np.float32).reshape(-1, self.n_features)
-        if xs.shape[0] == 0:
+        n = xs.shape[0]
+        if n == 0:
             return []
+        if pad_to is not None:
+            if n > pad_to:
+                raise ValueError(f"chunk of {n} rows exceeds pad_to={pad_to}")
+            if n < pad_to:
+                xs = np.concatenate(
+                    [xs, np.zeros((pad_to - n, self.n_features), np.float32)]
+                )
         start_seen = self._seen
         self._buffer, self._pending_forecast, outs = self._step_chunk(
-            self.params, self._buffer, self._pending_forecast, jnp.asarray(xs)
+            self.params, self._buffer, self._pending_forecast,
+            jnp.asarray(xs), n,
         )
-        self._seen += xs.shape[0]
+        self._seen += n
         pendings, recons, a_scores, global_scores = jax.device_get(outs)
 
         records = []
-        for i in range(xs.shape[0]):
+        for i in range(n):
             t = start_seen + i
             if t < self.window:   # pending forecast not armed yet
                 continue
@@ -234,6 +304,6 @@ class OnlineScorer:
                 "a_score": a_scores[i],
                 "score": float(global_scores[i]),
             }
-            self._apply_threshold(record)
+            self._finalize(record)
             records.append(record)
         return records

@@ -54,6 +54,7 @@ def _direct_lbfgsb(fun_jac, x0, bounds, m=10, pgtol=1e-5, maxls=20,
     Grimshaw objectives against ``minimize`` (and guarded by the reference
     parity tests). Returns None if the private API is unavailable (caller
     falls back to ``minimize``)."""
+    global _scipy_lbfgsb
     if _scipy_lbfgsb is None:
         return None
     lo, hi = bounds
@@ -73,10 +74,17 @@ def _direct_lbfgsb(fun_jac, x0, bounds, m=10, pgtol=1e-5, maxls=20,
     dsave = np.zeros(29, np.float64)
     n_iter = nfev = 0
     while True:
-        _scipy_lbfgsb.setulb(
-            m, x, low, upp, nbd, f, g, _LBFGSB_FACTR, pgtol, wa, iwa, task,
-            lsave, isave, dsave, maxls, ln_task,
-        )
+        try:
+            _scipy_lbfgsb.setulb(
+                m, x, low, upp, nbd, f, g, _LBFGSB_FACTR, pgtol, wa, iwa,
+                task, lsave, isave, dsave, maxls, ln_task,
+            )
+        except (TypeError, ValueError, AttributeError):
+            # scipy <1.15 exposes the Fortran setulb signature (bytes task,
+            # iprint/csave args) — only the >=1.15 integer-task signature is
+            # driven here. Fall back to scipy.optimize.minimize permanently.
+            _scipy_lbfgsb = None
+            return None
         if task[0] == 3:                 # evaluate f, g at current x
             fv, gv = fun_jac(x)
             nfev += 1
@@ -247,12 +255,15 @@ class SPOT:
         # the reference writes it — NOT as (1/S)*(1/S), which rounds
         # differently.)
         def w_and_jac_vec(T):
-            S = 1 + T[:, None] * peaks[None, :]
-            U = 1 + np.log(S).mean(axis=1)
-            V = np.mean(1 / S, axis=1)
-            jac_us = (1 / T) * (1 - V)
-            jac_vs = (1 / T) * (-V + np.mean(1 / S ** 2, axis=1))
-            return U * V - 1, U * jac_vs + V * jac_us
+            # candidates wandering past the pole give S <= 0 → NaN rows; the
+            # L-BFGS-B line search backs off them, so just silence the warning
+            with np.errstate(invalid="ignore", divide="ignore"):
+                S = 1 + T[:, None] * peaks[None, :]
+                U = 1 + np.log(S).mean(axis=1)
+                V = np.mean(1 / S, axis=1)
+                jac_us = (1 / T) * (1 - V)
+                jac_vs = (1 / T) * (-V + np.mean(1 / S ** 2, axis=1))
+                return U * V - 1, U * jac_vs + V * jac_us
 
         Ym, YM, Ymean = peaks.min(), peaks.max(), peaks.mean()
         if YM <= 0 or Ym == YM:
@@ -284,8 +295,11 @@ class SPOT:
         zs = zeros[zeros != 0]
         if zs.size:
             S = 1 + zs[:, None] * peaks[None, :]
-            gammas = (1 + np.log(S).mean(axis=1)) - 1    # u(s) - 1, as written
-            sigmas = gammas / zs
+            # degenerate candidates (S <= 0) yield NaN rows that lose every
+            # `ll > ll_best` comparison below — silence the expected warning
+            with np.errstate(invalid="ignore", divide="ignore"):
+                gammas = (1 + np.log(S).mean(axis=1)) - 1  # u(s) - 1, as written
+                sigmas = gammas / zs
             n_ = peaks.size
             for i in range(zs.size):
                 gamma = float(gammas[i])

@@ -100,9 +100,20 @@ class Plotter:
         self.train_output: Optional[pd.DataFrame] = None
         self.test_output: Optional[pd.DataFrame] = None
         self.labels_available = True
-        self.pred_cols = ["A_Score", "Thresh", "A_Pred"]
         self._load_results()
+        self.train_output["timestamp"] = self.train_output.index
+        self.test_output["timestamp"] = self.test_output.index
         self.lookback = self._config().get("lookback", 100)
+        # reference plotting.py:38-41: feature labels for segment plots (the
+        # SMAP/MSL single-feature label is "feat_1" — quirk preserved)
+        if "SMAP" in self.result_path or "MSL" in self.result_path:
+            self.pred_cols = ["feat_1"]
+        else:
+            n_feats = sum(
+                1 for c in self.test_output.columns
+                if c.startswith("True_") and c != "True_Global"
+            )
+            self.pred_cols = [f"feat_{i}" for i in range(n_feats)]
 
     # -- run resolution (plotting.py:43-56) --
     def _resolve(self) -> str:
@@ -143,6 +154,13 @@ class Plotter:
         self.test_output = pd.read_pickle(os.path.join(self.run_path, "test_output.pkl"))
         if "A_True_Global" not in self.test_output.columns:
             self.labels_available = False
+        # SMAP/MSL predict only one feature: alias the global columns to
+        # feature 0 (reference plotting.py:58-66)
+        if "SMAP" in self.result_path or "MSL" in self.result_path:
+            for df in (self.train_output, self.test_output):
+                for col in ("A_Pred", "A_Score", "Thresh"):
+                    if f"{col}_Global" in df.columns:
+                        df[f"{col}_0"] = df[f"{col}_Global"]
 
     # -- summaries (plotting.py:71-91) --
     def result_summary(self) -> dict:
@@ -249,67 +267,248 @@ class Plotter:
             },
         }
 
-    def plot_all_features(self, plot_train: bool = False,
-                          save_path: Optional[str] = None) -> None:
-        """All-feature grid (plotting.py:289-318)."""
-        df = self.train_output if plot_train else self.test_output
-        features = sorted(
-            int(c.split("_")[-1]) for c in df.columns if c.startswith("A_Score_")
-            and c != "A_Score_Global"
+    def plot_all_features(self, start=None, end=None, type="test",
+                          save_path: Optional[str] = None):
+        """Per-feature diagnostic grid (reference ``plotting.py:289-318``):
+        one subplot PER COLUMN in the reference's 4-series-per-feature order
+        — forecast, reconstruction, true value, anomaly score — styled
+        gray/gray/gray/red per feature (remaining global columns blue/green),
+        ylim (0, 1.5). Returns the subplot axes array."""
+        if type == "train":
+            data_copy = self.train_output.copy()
+        elif type == "test":
+            data_copy = self.test_output.copy()
+        else:
+            raise ValueError(f"type must be train|test, got {type!r}")
+
+        data_copy = data_copy.drop(
+            columns=["timestamp", "A_Score_Global", "Thresh_Global"],
+            errors="ignore",
         )
-        n = len(features)
-        fig, axes = plt.subplots(n, 1, figsize=(14, 1.6 * n), sharex=True, squeeze=False)
-        for i, f in enumerate(features):
-            axes[i][0].plot(df[f"A_Score_{f}"].values, lw=0.5)
-            axes[i][0].set_ylabel(str(f))
+        cols = [
+            c for c in data_copy.columns
+            if not (c.startswith("Thresh_") or c.startswith("A_Pred_"))
+        ]
+        data_copy = data_copy[cols]
+
+        if start is not None and end is not None:
+            assert start < end
+        if start is not None:
+            data_copy = data_copy.iloc[start:, :]
+        if end is not None:
+            start = 0 if start is None else start
+            data_copy = data_copy.iloc[: end - start, :]
+
+        num_cols = data_copy.shape[1]
+        plt.tight_layout()
+        colors = ["gray", "gray", "gray", "r"] * (num_cols // 4) + ["b", "g"]
+        axes = data_copy.plot(
+            subplots=True, figsize=(20, num_cols), ylim=(0, 1.5),
+            style=colors[:num_cols],
+        )
+        if save_path:
+            plt.savefig(save_path, bbox_inches="tight")
+        plt.close("all")
+        return axes
+
+    def anomaly_segments_figure(self, type="test", num_aligned_segments=None,
+                                show_boring_series=False) -> dict:
+        """Collective-anomaly view as a plotly figure spec (reference
+        ``plotting.py:320-435``): one row per (non-boring) feature showing
+        its true values, predicted-anomaly rectangles per feature, segments
+        that start at the same timestep across features grouped and colored
+        as one collective anomaly. ``num_aligned_segments`` keeps only
+        groups of exactly N (``"3"``) or at least N (``">3"``) aligned
+        segments; ``show_boring_series`` keeps near-constant features that
+        ``get_pred_cols`` would prune (``plotting.py:331-343``)."""
+        is_test = type != "train"
+        data_copy = (self.train_output if type == "train" else self.test_output).copy()
+        data_copy = data_copy.drop(columns=["timestamp"], errors="ignore")
+
+        def get_pred_cols(df):
+            # prune features whose true series is near-constant (>=0.95 mean
+            # or all-zero), dropping their 4-column block by POSITION
+            pred_cols_to_remove = []
+            col_names_to_remove = []
+            for i, col in enumerate(self.pred_cols):
+                y = df[f"True_{i}"].values
+                if np.average(y) >= 0.95 or np.average(y) == 0.0:
+                    pred_cols_to_remove.append(col)
+                    cols = list(df.columns[4 * i: 4 * i + 4])
+                    col_names_to_remove.extend(cols)
+            df.drop(col_names_to_remove, axis=1, inplace=True)
+            return [x for x in self.pred_cols if x not in pred_cols_to_remove]
+
+        non_constant_pred_cols = (
+            self.pred_cols if show_boring_series else get_pred_cols(data_copy)
+        )
+        n_rows = max(1, len(non_constant_pred_cols))
+
+        # make_subplots(rows=n, shared_xaxes=True, vertical_spacing=vs)
+        # domain layout: rows top-to-bottom, row i -> axes (x{i+1}, y{i+1})
+        vs = 0.4 / n_rows
+        row_h = max(0.0, (1.0 - vs * (n_rows - 1)) / n_rows)
+
+        data = []
+        shapes = []
+        annotations = []
+        layout = {
+            "height": 1800, "width": 1200, "template": "simple_white",
+            "showlegend": False,
+        }
+        for i in range(len(non_constant_pred_cols)):
+            new_idx = int(data_copy.columns[4 * i].split("_")[-1])
+            values = data_copy[f"True_{new_idx}"].values
+            anomaly_sequences = get_anomaly_sequences(
+                data_copy[f"A_Pred_{new_idx}"].values
+            )
+            j = i + 1
+            xref = f"x{j}" if i > 0 else "x"
+            yref = f"y{j}" if i > 0 else "y"
+            shapes.extend(self.create_shapes(
+                anomaly_sequences, None, -0.1, 2, None,
+                xref=xref, yref=yref, is_test=is_test,
+            ))
+            data.append({
+                "type": "scatter", "y": [float(v) for v in values],
+                "line": {"color": get_series_color(values), "width": 1},
+                "xaxis": xref, "yaxis": yref,
+            })
+            top = 1.0 - i * (row_h + vs)
+            axis_suffix = str(j) if i > 0 else ""
+            layout[f"xaxis{axis_suffix}"] = {
+                "anchor": yref, "matches": "x" if i > 0 else None,
+                "ticks": "", "showticklabels": False, "showline": True,
+                "mirror": True,
+            }
+            layout[f"yaxis{axis_suffix}"] = {
+                "domain": [max(0.0, top - row_h), top], "anchor": xref,
+                "range": [-0.1, get_y_height(values)],
+                "ticks": "", "showticklabels": False, "showline": True,
+                "mirror": True,
+            }
+            annotations.append({
+                "xanchor": "left", "yref": yref,
+                "text": f"<b>{non_constant_pred_cols[i].upper()}</b>",
+                "font": {"size": 10}, "showarrow": False,
+                "yshift": 35, "xshift": -523,
+            })
+
+        # group segments that START at the same x across features: a
+        # collective anomaly (reference plotting.py:392-424)
+        colors = ["blue", "green", "red", "black", "orange", "brown",
+                  "aqua", "hotpink"]
+        taken_shapes_i = []
+        keep_segments_i = []
+        corr_segments_count = 0
+        for i in range(len(shapes)):
+            corr_shapes = [i]
+            shape = shapes[i]
+            shape["opacity"] = 0.3
+            shape_x = shape["x0"]
+            for j in range(i + 1, len(shapes)):
+                if j not in taken_shapes_i and shapes[j]["x0"] == shape_x:
+                    corr_shapes.append(j)
+            if num_aligned_segments is not None:
+                if str(num_aligned_segments)[0] == ">":
+                    num = int(str(num_aligned_segments)[1:])
+                    keep_segment = len(corr_shapes) >= num
+                else:
+                    num = int(num_aligned_segments)
+                    keep_segment = len(corr_shapes) == num
+                if keep_segment:
+                    keep_segments_i.extend(corr_shapes)
+                    taken_shapes_i.extend(corr_shapes)
+                    if len(corr_shapes) != 1:
+                        for shape_i in corr_shapes:
+                            shapes[shape_i]["fillcolor"] = colors[
+                                corr_segments_count % len(colors)
+                            ]
+                        corr_segments_count += 1
+        if num_aligned_segments is not None:
+            shapes = [shapes[i] for i in keep_segments_i]
+
+        layout["shapes"] = shapes
+        layout["annotations"] = annotations
+        return {"data": data, "layout": layout}
+
+    def plot_anomaly_segments(self, type="test", num_aligned_segments=None,
+                              show_boring_series=False,
+                              save_path: Optional[str] = None) -> None:
+        """Render :meth:`anomaly_segments_figure` — plotly when installed,
+        interactive HTML for an ``.html`` save_path, matplotlib otherwise
+        (reference ``plotting.py:320-435``)."""
+        fig_dict = self.anomaly_segments_figure(
+            type=type, num_aligned_segments=num_aligned_segments,
+            show_boring_series=show_boring_series,
+        )
+        try:
+            import plotly.graph_objects as go
+        except ImportError:
+            if save_path and save_path.endswith(".html"):
+                self.write_plotly_html(fig_dict, save_path)
+                return
+            self._mpl_render_segments(fig_dict, save_path)
+            return
+        fig = go.Figure(fig_dict)
+        if save_path:
+            fig.write_html(save_path)
+        else:
+            fig.show()
+
+    @staticmethod
+    def _mpl_render_segments(fig_dict: dict, save_path: Optional[str]) -> None:
+        """Static matplotlib rendering of the anomaly-segments spec: one row
+        per trace, shape rectangles as axvspans on their yref row."""
+        traces = fig_dict["data"]
+        n = max(1, len(traces))
+        fig, axes = plt.subplots(n, 1, figsize=(12, 1.2 * n), sharex=True,
+                                 squeeze=False)
+        for i, tr in enumerate(traces):
+            axes[i][0].plot(tr["y"], lw=0.7,
+                            color=tr.get("line", {}).get("color", "black"))
+            axes[i][0].set_yticks([])
+        for shape in fig_dict["layout"].get("shapes", []):
+            yref = shape.get("yref", "y")
+            row = 0 if yref == "y" else int(yref[1:]) - 1
+            if row < n:
+                axes[row][0].axvspan(
+                    shape["x0"], shape["x1"],
+                    color=shape.get("fillcolor") or "blue",
+                    alpha=shape.get("opacity", 0.3),
+                )
         if save_path:
             plt.savefig(save_path, bbox_inches="tight")
         plt.close(fig)
 
-    def plot_anomaly_segments(self, save_path: Optional[str] = None) -> None:
-        """Aligned anomaly-segment view (plotting.py:320-435)."""
-        df = self.test_output
-        if not self.labels_available:
-            print("No labels available")
-            return
-        segments = get_anomaly_sequences(df["A_True_Global"].values)
-        n = min(len(segments), 12)
-        if n == 0:
-            print("No anomaly segments")
-            return
-        fig, axes = plt.subplots(1, n, figsize=(2.5 * n, 3), squeeze=False)
-        for i, (s, e) in enumerate(segments[:n]):
-            pad = max(20, (e - s))
-            sl = slice(max(0, s - pad), min(len(df), e + pad))
-            axes[0][i].plot(range(sl.start, sl.stop),
-                            df["A_Score_Global"].values[sl], lw=0.7)
-            axes[0][i].axvspan(s, e, color="red", alpha=0.15)
-        if save_path:
-            plt.savefig(save_path, bbox_inches="tight")
-        plt.close(fig)
+    def plot_global_predictions(self, type="test",
+                                save_path: Optional[str] = None):
+        """Global 3-panel layout (reference ``plotting.py:437-458``):
+        scores + dashed threshold (ylim 0..5×mean(threshold)), predicted
+        anomalies, true anomalies (test only). Returns the axes."""
+        if type == "train":
+            data_copy = self.train_output.copy()
+        else:
+            data_copy = self.test_output.copy()
 
-    def plot_global_predictions(self, plot_train: bool = False,
-                                save_path: Optional[str] = None) -> None:
-        """Global score vs threshold with predicted/true anomalies
-        (plotting.py:437-493)."""
-        df = self.train_output if plot_train else self.test_output
-        fig, ax = plt.subplots(figsize=(14, 4))
-        ax.plot(df["A_Score_Global"].values, label="global score", lw=0.7)
-        if "Thresh_Global" in df.columns:
-            ax.plot(df["Thresh_Global"].values, label="threshold", lw=0.8,
-                    ls="--", c="red")
-        if "A_Pred_Global" in df.columns:
-            preds = df["A_Pred_Global"].values
-            idx = np.where(preds > 0)[0]
-            ax.scatter(idx, df["A_Score_Global"].values[idx], s=4, c="orange",
-                       label="predicted anomaly")
-        if self.labels_available and not plot_train:
-            for s, e in get_anomaly_sequences(df["A_True_Global"].values):
-                ax.axvspan(s, e, color="red", alpha=0.15)
-        ax.legend()
+        fig, axs = plt.subplots(3, figsize=(30, 10), sharex=True)
+        axs[0].plot(data_copy["A_Score_Global"], c="r", label="anomaly scores")
+        if "Thresh_Global" in data_copy.columns:
+            axs[0].plot(data_copy["Thresh_Global"], linestyle="dashed",
+                        c="black", label="threshold")
+            axs[0].set_ylim(
+                [0, 5 * np.mean(data_copy["Thresh_Global"].values)]
+            )
+        if "A_Pred_Global" in data_copy.columns:
+            axs[1].plot(data_copy["A_Pred_Global"],
+                        label="predicted anomalies", c="orange")
+        if self.labels_available and type == "test":
+            axs[2].plot(data_copy["A_True_Global"], label="actual anomalies")
+        fig.legend(prop={"size": 20})
         if save_path:
             plt.savefig(save_path, bbox_inches="tight")
         plt.close(fig)
+        return axs
 
     # -- plotly surface (plotting.py:93-152,460-493) --
     @staticmethod
@@ -409,7 +608,7 @@ class Plotter:
                 return
             print("plotly not installed; falling back to matplotlib display")
             return self.plot_global_predictions(
-                plot_train=plot_train, save_path=save_path
+                type="train" if plot_train else "test", save_path=save_path
             )
 
         fig = go.Figure(fig_dict)

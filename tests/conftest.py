@@ -34,6 +34,25 @@ requires_reference = pytest.mark.skipif(
     not reference_available(), reason="reference repo not mounted"
 )
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_graft_entry():
+    """Import __graft_entry__ by explicit path (no sys.path mutation)."""
+    import importlib.util
+    import sys
+
+    mod = sys.modules.get("__graft_entry__")
+    if mod is not None:
+        return mod
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", os.path.join(REPO_ROOT, "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__graft_entry__"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
 
 @pytest.fixture
 def rng():

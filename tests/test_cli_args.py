@@ -1,7 +1,6 @@
 """CLI surface parity: our parser must accept the reference's exact flag set
 with identical defaults, and config.txt must round-trip."""
 
-import sys
 
 import pytest
 
@@ -10,14 +9,13 @@ from tests.conftest import requires_reference
 from mtad_gat_tpu.cli.args import get_parser, to_run_config
 from mtad_gat_tpu.config import RunConfig, lookup_pot_params
 
-REFERENCE = "/root/reference"
 
 
 @requires_reference
 def test_flag_surface_matches_reference():
-    if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
-    import args as ref_args
+    from tests.torch_ref import load_ref
+
+    ref_args = load_ref("args")
 
     ref = ref_args.get_parser().parse_args([])
     ours = get_parser().parse_args([])

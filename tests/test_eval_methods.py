@@ -1,7 +1,6 @@
 """Parity tests for thresholding/evaluation vs the reference implementations
 (point-adjust, calc_point2point, find_epsilon, bf_search, SPOT)."""
 
-import sys
 
 import numpy as np
 import pytest
@@ -18,15 +17,12 @@ from mtad_gat_tpu.inference import (
     pot_eval,
 )
 
-REFERENCE = "/root/reference"
 
 
 def _ref_eval():
-    if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
-    import eval_methods as ref
+    from tests.torch_ref import load_ref
 
-    return ref
+    return load_ref("eval_methods")
 
 
 def _random_case(rng, n=500, p_anom=0.05, p_pred=0.1):
@@ -99,7 +95,9 @@ def test_bf_search_parity():
 
 @requires_reference
 def test_spot_static_parity():
-    import spot as ref_spot
+    from tests.torch_ref import load_ref
+
+    ref_spot = load_ref("spot")
 
     rng = np.random.default_rng(4)
     init = rng.gamma(2.0, 1.0, 2000)
@@ -122,7 +120,9 @@ def test_spot_static_parity():
 
 @requires_reference
 def test_spot_dynamic_parity():
-    import spot as ref_spot
+    from tests.torch_ref import load_ref
+
+    ref_spot = load_ref("spot")
 
     rng = np.random.default_rng(5)
     init = rng.gamma(2.0, 1.0, 800)
@@ -174,7 +174,9 @@ def test_spot_dynamic_fast_path_bit_identical_to_reference():
     with_alarm=False) (VERDICT r3 item #6) must be BIT-identical to the
     reference's sequential streaming loop — thresholds and alarms — on a
     stream large enough to take the fast path (K >= 64 refits)."""
-    import spot as ref_spot
+    from tests.torch_ref import load_ref
+
+    ref_spot = load_ref("spot")
 
     rng = np.random.default_rng(7)
     init = rng.gamma(2.0, 1.0, 3000)
@@ -252,7 +254,9 @@ def test_spot_dynamic_fast_equals_step_loop():
 def test_calc_seq_parity():
     """calc_seq (reference eval_methods.py:160-163): point-adjusted metric
     tuple + latency at a single threshold."""
-    import eval_methods as ref_eval
+    from tests.torch_ref import load_ref
+
+    ref_eval = load_ref("eval_methods")
 
     from mtad_gat_tpu.inference import calc_seq
 
@@ -269,7 +273,9 @@ def test_calc_seq_parity():
 def test_series_color_height_parity():
     """get_series_color / get_y_height (reference utils.py:192-208),
     including the all-branches-return-black quirk."""
-    import utils as ref_utils
+    from tests.torch_ref import load_ref
+
+    ref_utils = load_ref("utils")
 
     from mtad_gat_tpu.utils.plotting import get_series_color, get_y_height
 

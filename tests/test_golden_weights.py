@@ -169,7 +169,9 @@ def test_get_score_cross_implementation_msl(rng):
     w = cfg["lookback"]
     series = rng.uniform(0.0, 1.0, size=(w + 37, n_features)).astype(np.float32)
 
-    import prediction as ref_prediction  # reference, via torch_ref sys.path
+    from tests.torch_ref import load_ref
+
+    ref_prediction = load_ref("prediction")
 
     pred_args = {
         "dataset": "MSL",
@@ -217,7 +219,9 @@ def test_get_score_cross_implementation_smd(rng):
     w = cfg["lookback"]
     series = rng.uniform(0.0, 1.0, size=(w + 21, n_features)).astype(np.float32)
 
-    import prediction as ref_prediction
+    from tests.torch_ref import load_ref
+
+    ref_prediction = load_ref("prediction")
 
     pred_args = {
         "dataset": "SMD", "target_dims": None, "scale_scores": False,
@@ -259,7 +263,9 @@ def test_get_score_cross_implementation_smap(rng):
     w = cfg["lookback"]
     series = rng.uniform(0.0, 1.0, size=(w + 29, n_features)).astype(np.float32)
 
-    import prediction as ref_prediction
+    from tests.torch_ref import load_ref
+
+    ref_prediction = load_ref("prediction")
 
     pred_args = {
         "dataset": "SMAP", "target_dims": [0], "scale_scores": False,
@@ -358,7 +364,6 @@ def test_predict_cli_torch_ckpt_end_to_end(tmp_path, monkeypatch):
     state_dict: train a tiny run for the run-dir/config, then predict with a
     reference-architecture torch checkpoint instead of the msgpack."""
     import pickle
-    import sys
 
     import torch
 

@@ -139,6 +139,12 @@ def test_config_rejects_bad_topologies():
             n_features=K, window_size=W, temporal_graph="band:2",
             attention_impl="pallas",
         )
+    # pallas fused kernel is GATv2-only: no silent dense fallback for GATv1
+    with pytest.raises(ValueError, match="pallas.*GATv2|GATv2 scoring"):
+        MTADGATConfig(
+            n_features=K, window_size=W, use_gatv2=False,
+            attention_impl="pallas",
+        )
     # edge lists normalize to hashable tuples
     cfg = MTADGATConfig(
         n_features=K, window_size=W, feature_graph="knn:1",

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import os
 import pickle
-import sys
 
 import numpy as np
 import pytest
@@ -67,9 +66,9 @@ def test_nasa_preprocess_matches_reference(tmp_path, monkeypatch, dataset):
 
     # Reference run (relative paths; chdir into the sandbox)
     monkeypatch.chdir(tmp_path)
-    if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
-    import preprocess as ref_preprocess
+    from tests.torch_ref import load_ref
+
+    ref_preprocess = load_ref("preprocess")
 
     ref_preprocess.load_data(dataset)
     ref_dir = tmp_path / "ref_processed"

@@ -157,3 +157,78 @@ def test_update_many_chunks_match_per_point(model_and_params):
         np.testing.assert_allclose(rb["a_score"], ra["a_score"], atol=1e-6)
         assert ra["is_anomaly"] == rb["is_anomaly"]
         assert ra["threshold"] == rb["threshold"]
+
+
+def test_streaming_ewm_matches_offline_smooth(model_and_params):
+    """Streaming EWM (smoothing_span) is record-exact vs the offline
+    pandas ``ewm(span, adjust=True).mean()`` (``Predictor._smooth``,
+    reference ``prediction.py:132-135``) — including the warmup prefix and
+    both the per-point and chunked paths."""
+    import pandas as pd
+
+    model, params = model_and_params
+    _, test, _ = synthetic_series(n_train=80, n_test=120, n_features=K)
+    span = 7
+
+    raw = OnlineScorer(model, params, W, K)
+    raw_scores = np.array([r["score"] for r in raw.update_many(test)])
+    want = pd.Series(raw_scores).ewm(span=span).mean().to_numpy()
+
+    # chunked path (update_many), uneven chunk boundaries on purpose
+    sm = OnlineScorer(model, params, W, K, smoothing_span=span)
+    records = []
+    for start in range(0, test.shape[0], 17):
+        records.extend(sm.update_many(test[start:start + 17]))
+    got = np.array([r["score"] for r in records])
+    np.testing.assert_array_equal(got, want)  # bit-exact, not allclose
+    np.testing.assert_array_equal(
+        np.array([r["score_raw"] for r in records]), raw_scores
+    )
+
+    # per-point path
+    sm2 = OnlineScorer(model, params, W, K, smoothing_span=span)
+    got2 = np.array(
+        [r["score"] for x in test if (r := sm2.update(x)) is not None]
+    )
+    np.testing.assert_array_equal(got2, want)
+
+
+def test_streaming_ewm_threshold_on_smoothed(model_and_params):
+    """With smoothing armed, the alarm compares the SMOOTHED score against
+    the threshold (the offline eval thresholds on smoothed scores,
+    reference ``prediction.py:158-163``)."""
+    model, params = model_and_params
+    train, test, _ = synthetic_series(n_train=200, n_test=60, n_features=K)
+
+    sm = OnlineScorer(model, params, W, K, smoothing_span=5)
+    train_records = sm.update_many(train)
+    sm.fit_threshold(
+        np.array([r["score"] for r in train_records]), method="epsilon"
+    )
+    for r in sm.update_many(test):
+        assert r["is_anomaly"] == (r["score"] > r["threshold"])
+        assert "score_raw" in r
+
+
+def test_update_many_pad_to_identical(model_and_params):
+    """pad_to zero-pads a short chunk up to the compiled scan length; the
+    masked carry makes records and subsequent state identical to the
+    unpadded call (serving keeps ONE compiled program for variable live
+    chunk sizes)."""
+    model, params = model_and_params
+    _, test, _ = synthetic_series(n_train=80, n_test=50, n_features=K)
+
+    a = OnlineScorer(model, params, W, K)
+    ra = a.update_many(test[:30]) + a.update_many(test[30:])  # 30 + 20
+
+    b = OnlineScorer(model, params, W, K)
+    rb = b.update_many(test[:30], pad_to=30) + b.update_many(
+        test[30:], pad_to=30
+    )
+
+    assert [r["t"] for r in ra] == [r["t"] for r in rb]
+    np.testing.assert_array_equal(
+        [r["score"] for r in ra], [r["score"] for r in rb]
+    )
+    np.testing.assert_array_equal(a._buffer, b._buffer)
+    np.testing.assert_array_equal(a._pending_forecast, b._pending_forecast)

@@ -31,9 +31,9 @@ def _import_ref_plotting():
     sys.modules["plotly"].subplots = sys.modules["plotly.subplots"]
     sys.modules["plotly.subplots"].make_subplots = lambda *a, **k: None
     sys.modules["cufflinks"].go_offline = lambda *a, **k: None
-    if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
-    import plotting as ref_plotting
+    from tests.torch_ref import load_ref
+
+    ref_plotting = load_ref("plotting")
 
     return ref_plotting
 
@@ -208,3 +208,131 @@ def test_spot_family_plot_surface():
     figs_b = b.plot(res_b)
     # series + upper + lower thresholds (+ alarms if any fired)
     assert len(figs_b) in (3, 4)
+
+
+# ---------------------------------------------------------------- r5: full
+# Plotter fidelity (VERDICT r4 missing #1-3)
+
+def _feature_run(tmp_path, k=3, n=60):
+    """Fake run with the reference's COLUMN ORDER (prediction.py:73-94 then
+    :137-200): per-feature 4-col blocks first — position-based logic in
+    plot_anomaly_segments depends on it."""
+    run = tmp_path / "SMD" / "18082026_000000"
+    os.makedirs(run)
+    rng = np.random.default_rng(3)
+    cols = {}
+    for i in range(k):
+        cols[f"Forecast_{i}"] = rng.random(n) * 0.5
+        cols[f"Recon_{i}"] = rng.random(n) * 0.5
+        # feature k-1 is "boring": constant-high true series (pruned by
+        # get_pred_cols unless show_boring_series)
+        cols[f"True_{i}"] = np.ones(n) if i == k - 1 else rng.random(n) * 0.5
+        cols[f"A_Score_{i}"] = rng.random(n) * 0.3
+    cols["A_Score_Global"] = rng.random(n) * 0.3
+    for i in range(k):
+        cols[f"Thresh_{i}"] = np.full(n, 0.8)
+        pred = np.zeros(n)
+        if i in (0, 1):
+            pred[10:16] = 1          # aligned segment on features 0 and 1
+        if i == 0:
+            pred[30:33] = 1          # unaligned extra segment on feature 0
+        cols[f"A_Pred_{i}"] = pred
+    cols["Thresh_Global"] = np.full(n, 0.9)
+    cols["A_Pred_Global"] = (rng.random(n) > 0.8).astype(float)
+    cols["A_True_Global"] = (rng.random(n) > 0.9).astype(float)
+    df = pd.DataFrame(cols)
+    df.to_pickle(run / "test_output.pkl")
+    df.drop(columns=["A_True_Global"]).to_pickle(run / "train_output.pkl")
+    return str(tmp_path / "SMD")
+
+
+def test_plot_all_features_four_series_grid(tmp_path):
+    """One subplot per column in forecast/recon/true/score order with the
+    reference's gray/gray/gray/red styling and (0, 1.5) ylim
+    (plotting.py:289-318)."""
+    plotter = Plotter(_feature_run(tmp_path), model_id="-1")
+    axes = plotter.plot_all_features(type="test")
+    # 3 features x 4 series + A_True_Global (timestamp/global score/thresh
+    # dropped, Thresh_i/A_Pred_i filtered)
+    assert len(axes) == 13
+    from matplotlib.colors import to_rgba
+
+    colors = [to_rgba(ax.lines[0].get_color()) for ax in axes]
+    assert colors[:8] == [to_rgba(c) for c in ["gray", "gray", "gray", "r"] * 2]
+    assert axes[0].get_ylim() == (0.0, 1.5)
+    # start/end slicing
+    axes2 = plotter.plot_all_features(start=5, end=25, type="test")
+    assert len(axes2[0].lines[0].get_xdata()) == 20
+    with pytest.raises(AssertionError):
+        plotter.plot_all_features(start=10, end=5)
+
+
+def test_plot_global_predictions_three_panels(tmp_path):
+    """3-panel layout: scores+threshold with the 5x-mean-threshold ylim,
+    predicted anomalies, true anomalies (plotting.py:437-458)."""
+    plotter = Plotter(_feature_run(tmp_path), model_id="-1")
+    axs = plotter.plot_global_predictions(type="test")
+    assert len(axs) == 3
+    assert len(axs[0].lines) == 2          # scores + dashed threshold
+    assert axs[0].lines[1].get_linestyle() == "--"
+    np.testing.assert_allclose(axs[0].get_ylim()[1], 5 * 0.9)
+    assert len(axs[1].lines) == 1          # predicted anomalies
+    assert len(axs[2].lines) == 1          # true anomalies (test)
+    axs_tr = plotter.plot_global_predictions(type="train")
+    assert len(axs_tr[2].lines) == 0       # train: no true anomalies
+
+
+def test_anomaly_segments_collective_logic(tmp_path):
+    """Collective-anomaly grouping (plotting.py:320-435): boring series
+    pruned, aligned segments colored as one group, num_aligned_segments
+    filters by group size."""
+    plotter = Plotter(_feature_run(tmp_path), model_id="-1")
+
+    fig = plotter.anomaly_segments_figure(type="test")
+    # feature 2 (constant-high True) pruned -> 2 rows
+    assert len(fig["data"]) == 2
+    texts = [a["text"] for a in fig["layout"]["annotations"]]
+    assert texts == ["<b>FEAT_0</b>", "<b>FEAT_1</b>"]
+    # 3 predicted segments total (2 on feat 0, 1 on feat 1), all 0.3 opacity
+    shapes = fig["layout"]["shapes"]
+    assert len(shapes) == 3
+    assert all(s["opacity"] == 0.3 for s in shapes)
+    # rows use stacked y domains, top-to-bottom
+    assert fig["layout"]["yaxis"]["domain"][1] == 1.0
+    assert fig["layout"]["yaxis2"]["domain"][1] < 1.0
+
+    # boring series kept on demand
+    fig_all = plotter.anomaly_segments_figure(type="test", show_boring_series=True)
+    assert len(fig_all["data"]) == 3
+
+    # exactly-2-aligned: keeps ONLY the segment starting at t=10 on both
+    # features, colored as one collective anomaly
+    fig2 = plotter.anomaly_segments_figure(type="test", num_aligned_segments="2")
+    shapes2 = fig2["layout"]["shapes"]
+    assert len(shapes2) == 2
+    assert {s["x0"] for s in shapes2} == {10 - 5}
+    assert {s["fillcolor"] for s in shapes2} == {"blue"}
+    assert {s["yref"] for s in shapes2} == {"y", "y2"}
+
+    # >=1 aligned keeps everything (incl. the unaligned feat-0 segment) —
+    # with the reference's duplicate-keep quirk: a shape already taken by an
+    # earlier group is appended AGAIN when its own turn comes
+    # (plotting.py:392-424 never skips a taken i), so the aligned feat-1
+    # segment appears twice -> 4 entries for 3 distinct segments
+    fig3 = plotter.anomaly_segments_figure(type="test", num_aligned_segments=">1")
+    shapes3 = fig3["layout"]["shapes"]
+    assert len(shapes3) == 4
+    assert len({(s["x0"], s["yref"]) for s in shapes3}) == 3
+
+
+def test_plot_anomaly_segments_renders_without_plotly(tmp_path):
+    for name in list(sys.modules):
+        if name == "plotly" or name.startswith("plotly."):
+            del sys.modules[name]
+    plotter = Plotter(_feature_run(tmp_path), model_id="-1")
+    out_html = tmp_path / "segments.html"
+    plotter.plot_anomaly_segments(save_path=str(out_html))
+    assert "Plotly.newPlot" in out_html.read_text()
+    out_png = tmp_path / "segments.png"
+    plotter.plot_anomaly_segments(save_path=str(out_png))
+    assert out_png.exists() and out_png.stat().st_size > 0

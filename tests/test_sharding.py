@@ -68,19 +68,17 @@ def test_sharded_training_matches_single_device():
 
 
 def test_dryrun_multichip():
-    import sys
+    from tests.conftest import load_graft_entry
 
-    sys.path.insert(0, "/root/repo")
-    import __graft_entry__ as ge
+    ge = load_graft_entry()
 
     ge.dryrun_multichip(8)
 
 
 def test_entry_compiles():
-    import sys
+    from tests.conftest import load_graft_entry
 
-    sys.path.insert(0, "/root/repo")
-    import __graft_entry__ as ge
+    ge = load_graft_entry()
 
     fn, (params, x) = ge.entry()
     preds, recons = jax.jit(fn)(params, x)

@@ -1,7 +1,6 @@
 """Parity for the SPOT variants (dSPOT / biSPOT / bidSPOT) vs the reference
 implementations on shared streams."""
 
-import sys
 
 import numpy as np
 import pytest
@@ -11,13 +10,12 @@ from tests.conftest import requires_reference
 from mtad_gat_tpu.inference import biSPOT, bidSPOT, dSPOT
 from mtad_gat_tpu.inference.spot import back_mean
 
-REFERENCE = "/root/reference"
 
 
 def _ref_spot():
-    if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
-    import spot as ref
+    from tests.torch_ref import load_ref
+
+    ref = load_ref("spot")
 
     return ref
 

@@ -7,25 +7,55 @@ star: "match the reference PyTorch per-layer activations (allclose)").
 
 from __future__ import annotations
 
+import importlib.util
+import os
 import sys
 
 import numpy as np
 
 REFERENCE = "/root/reference"
-if REFERENCE not in sys.path:
-    sys.path.insert(0, REFERENCE)
+
+# Intra-reference bare-name imports (e.g. prediction.py does `from eval_methods
+# import *`). Each dependency must be resolvable from sys.modules before the
+# dependent module executes, so load_ref preloads them in topological order.
+_REF_DEPS = {
+    "prediction": ("eval_methods", "utils"),
+    "eval_methods": ("spot",),
+    "plotting": ("utils",),
+    "preprocess": ("args",),
+    "mtad_gat": ("modules",),
+    "training": ("mtad_gat",),
+}
+
+
+def load_ref(name: str):
+    """Import a reference module by explicit file path (never via sys.path).
+
+    Registers the module in sys.modules under its bare name so the reference's
+    own sibling imports resolve to it — deterministically, regardless of test
+    execution order or any sys.path state (the round-4 order-dependence bug was
+    `import preprocess` resolving to the repo-root CLI shim when another test
+    had reordered sys.path).
+    """
+    mod = sys.modules.get(name)
+    ref_file = os.path.join(REFERENCE, name + ".py")
+    if mod is not None and getattr(mod, "__file__", None) == ref_file:
+        return mod
+    for dep in _REF_DEPS.get(name, ()):
+        load_ref(dep)
+    spec = importlib.util.spec_from_file_location(name, ref_file)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def ref_modules():
-    import modules  # reference modules.py
-
-    return modules
+    return load_ref("modules")
 
 
 def ref_model():
-    import mtad_gat  # reference mtad_gat.py
-
-    return mtad_gat
+    return load_ref("mtad_gat")
 
 
 def _t(x) -> np.ndarray:
