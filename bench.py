@@ -46,16 +46,19 @@ def tpu_healthy(timeout: float = 300.0) -> bool:
         return False
 
 
-def bench_tpu(epochs: int = 4, batches_per_epoch: int = 50, bs: int = 256) -> float:
+def bench_tpu(epochs: int = 4, batches_per_epoch: int = 200, bs: int = 256) -> float:
     """Steady-state training throughput: each timed call is one jitted
     lax.scan over ``batches_per_epoch`` train steps (gather + fwd + bwd +
-    adam), so per-call dispatch overhead is amortized like in real training.
+    adam), so per-call dispatch overhead is amortized like in real training
+    (200-batch epochs: the remote-attach tunnel costs ~30 ms per EPOCH
+    dispatch — traced, docs/PERFORMANCE.md — so short epochs understate the
+    device rate by ~10%).
     Warmup fetches a result to the host: block_until_ready alone is not a
     reliable completion barrier on the remote-attached TPU platform."""
     return _bench_tpu_dtype("bfloat16", epochs, batches_per_epoch, bs)
 
 
-def bench_tpu_f32(epochs: int = 2, batches_per_epoch: int = 50, bs: int = 256) -> float:
+def bench_tpu_f32(epochs: int = 2, batches_per_epoch: int = 200, bs: int = 256) -> float:
     """Same measurement at float32 compute (the CLI default dtype)."""
     return _bench_tpu_dtype("float32", epochs, batches_per_epoch, bs)
 

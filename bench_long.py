@@ -55,7 +55,8 @@ def peak_hbm_bytes(trainer, state, series, starts, mask) -> int:
 
 
 def bench_config(lookback: int, band: int, bs: int, batches: int,
-                 epochs: int = 2, dtype: str = "bfloat16") -> dict:
+                 epochs: int = 2, dtype: str = "bfloat16",
+                 gru_impl: str = "xla", gru_unroll: int = 4) -> dict:
     import tempfile
 
     import jax.numpy as jnp
@@ -69,6 +70,7 @@ def bench_config(lookback: int, band: int, bs: int, batches: int,
         use_gatv2=True, gru_hid_dim=150, forecast_n_layers=3,
         forecast_hid_dim=150, recon_n_layers=1, recon_hid_dim=150,
         dropout=0.3, alpha=0.2, compute_dtype=dtype,
+        gru_impl=gru_impl, gru_unroll=gru_unroll,
         temporal_graph=f"band:{band}", bias_storage="band",
         # the reference defaults feat embed to the window size — a (2*8192,
         # 16384) projection; long windows pin it to the flagship 150 instead
@@ -101,6 +103,8 @@ def bench_config(lookback: int, band: int, bs: int, batches: int,
         "lookback": lookback,
         "band": band,
         "bs": bs,
+        "gru_impl": gru_impl,
+        "gru_unroll": gru_unroll,
         "value": round(wps, 2),
         "timesteps_per_sec": round(wps * lookback),
         "unit": "windows/s",
@@ -114,11 +118,24 @@ def main() -> None:
     from mtad_gat_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache("default")
-    only = [int(a) for a in sys.argv[1:]] or None
+    argv = sys.argv[1:]
+    gru_sweep = "--gru" in argv
+    only = [int(a) for a in argv if a != "--gru"] or None
     for lookback, band, bs, batches in CONFIGS:
         if only and lookback not in only:
             continue
-        print(json.dumps(bench_config(lookback, band, bs, batches)), flush=True)
+        if gru_sweep:
+            # VERDICT r4 item #8: post-shear the two GRU chains are ~2/3 of
+            # the long-window step; measure fused-vs-XLA GRU and the scan
+            # unroll at each lookback to justify per-regime defaults.
+            for impl, unroll in (("xla", 1), ("xla", 4), ("xla", 8),
+                                 ("pallas", 4)):
+                print(json.dumps(bench_config(
+                    lookback, band, bs, batches,
+                    gru_impl=impl, gru_unroll=unroll,
+                )), flush=True)
+        else:
+            print(json.dumps(bench_config(lookback, band, bs, batches)), flush=True)
 
 
 if __name__ == "__main__":

@@ -79,6 +79,10 @@ def get_parser() -> argparse.ArgumentParser:
                         help="GRU recurrent scan: 'xla' lax.scan (default) or "
                              "'pallas' fused single-launch kernel (measured "
                              "tie on v5e; docs/PERFORMANCE.md)")
+    parser.add_argument("--gru_unroll", type=int, default=4,
+                        help="lax.scan unroll for the GRU chains (4 = "
+                             "measured sweet spot across lookbacks; "
+                             "docs/PERFORMANCE.md)")
     parser.add_argument("--feature_graph", type=str, default="complete",
                         help="feature-GAT topology: 'complete' (reference "
                              "semantics) or 'knn:K' (k most-|corr|-related "

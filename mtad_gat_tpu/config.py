@@ -59,6 +59,11 @@ class MTADGATConfig:
     # tie on v5e — both are serial-dependency-bound (docs/PERFORMANCE.md) —
     # so pallas is an opt-in alternative, not a speedup claim.
     gru_impl: str = "xla"
+    # lax.scan unroll factor for both GRU chains (encoder + recon decoder).
+    # 4 is the measured fwd+bwd sweet spot at the flagship lookback 100 AND
+    # at lookback 1024-8192 (docs/PERFORMANCE.md long-window GRU sweep);
+    # exposed for per-regime tuning.
+    gru_unroll: int = 4
     # Graph topology specs (SURVEY.md §7 north star: the complete graph is
     # ONE instantiation of the general SDDMM -> segment-softmax -> SpMM
     # pipeline). Non-complete topologies route through the COO sparse path.
@@ -96,6 +101,8 @@ class MTADGATConfig:
             raise ValueError(
                 f"gru_impl must be xla|pallas, got {self.gru_impl!r}"
             )
+        if self.gru_unroll < 1:
+            raise ValueError(f"gru_unroll must be >= 1, got {self.gru_unroll}")
         from mtad_gat_tpu.graph.structure import parse_graph_spec
 
         fkind, _ = parse_graph_spec(self.feature_graph)
@@ -251,6 +258,7 @@ class RunConfig:
     compute_dtype: str = "float32"
     attention_impl: str = "dense"
     gru_impl: str = "xla"
+    gru_unroll: int = 4
     data_root: str = "datasets"
     output_root: str = "output"
     # Graph topology (see MTADGATConfig): feature_edges is filled in by the
@@ -296,6 +304,7 @@ class RunConfig:
             compute_dtype=self.compute_dtype,
             attention_impl=self.attention_impl,
             gru_impl=self.gru_impl,
+            gru_unroll=self.gru_unroll,
             feature_graph=self.feature_graph,
             temporal_graph=self.temporal_graph,
             feature_edges=(

@@ -53,6 +53,14 @@ from mtad_gat_tpu.nn.init import (
 )
 from mtad_gat_tpu.parallel.sharding import constrain
 
+# Above this (b, N, N) f32 score-tensor size, attention_impl="dense" on a
+# GATv2 complete graph auto-routes to the fused Pallas kernel: measured on
+# the 16 GB bench chip, dense OOMs at N=65,536/b=1 (17.2 GB scores) while
+# the blockwise kernel peaks at 0.09 GiB and keeps running
+# (bench_edges.py --crossover; docs/PERFORMANCE.md). 14 GiB leaves room for
+# params/temps alongside the score tensor.
+PALLAS_AUTO_SCORE_BYTES = 14 * 2**30
+
 
 class _GATCore(nn.Module):
     """Attention over a complete graph of ``n_nodes`` nodes, each with
@@ -193,7 +201,16 @@ class _GATCore(nn.Module):
                     self.dropout if dropout_rng is not None else 0.0,
                     dropout_rng,
                 ).astype(cd)
-            if self.impl == "pallas":
+            # Auto-route huge complete graphs to the fused kernel: the dense
+            # path's (b, N, N) f32 score tensor OOMs a 16 GB chip at
+            # N=65,536 (measured: 17.2 GB; bench_edges.py --crossover),
+            # while the blockwise kernel peaks at 0.09 GiB there. Below the
+            # threshold dense is faster (3.1 vs 1.67 Ge/s at N=57k), so it
+            # stays the default.
+            score_bytes = 4 * v.shape[0] * self.n_nodes * self.n_nodes
+            if self.impl == "pallas" or (
+                self.impl == "dense" and score_bytes > PALLAS_AUTO_SCORE_BYTES
+            ):
                 from mtad_gat_tpu.kernels.gat_pallas import gatv2_attention_fused
 
                 return gatv2_attention_fused(

@@ -68,6 +68,7 @@ class ReconstructionHead(nn.Module):
     dropout: float
     compute_dtype: jnp.dtype = jnp.float32
     gru_impl: str = "xla"
+    gru_unroll: int = 4
 
     @nn.compact
     def __call__(self, h_end: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -87,6 +88,7 @@ class ReconstructionHead(nn.Module):
             dropout=self.dropout,
             compute_dtype=self.compute_dtype,
             impl=self.gru_impl,
+            unroll=self.gru_unroll,
             name="decoder",
         )(h_rep, deterministic=deterministic)
         return _TorchLinear(

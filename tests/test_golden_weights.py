@@ -24,6 +24,7 @@ chain on real data. Together they close the loop the raw data's absence leaves.
 
 import json
 import os
+import sys
 
 import jax
 import numpy as np
