@@ -56,7 +56,7 @@ def peak_hbm_bytes(trainer, state, series, starts, mask) -> int:
 
 def bench_config(lookback: int, band: int, bs: int, batches: int,
                  epochs: int = 2, dtype: str = "bfloat16",
-                 gru_impl: str = "xla", gru_unroll: int = 4) -> dict:
+                 gru_impl: str = "auto", gru_unroll: int = 4) -> dict:
     import tempfile
 
     import jax.numpy as jnp

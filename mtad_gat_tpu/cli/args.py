@@ -74,11 +74,13 @@ def get_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"])
     parser.add_argument("--attention_impl", type=str, default="dense",
                         choices=["dense", "sparse", "pallas", "ring"])
-    parser.add_argument("--gru_impl", type=str, default="xla",
-                        choices=["xla", "pallas"],
-                        help="GRU recurrent scan: 'xla' lax.scan (default) or "
-                             "'pallas' fused single-launch kernel (measured "
-                             "tie on v5e; docs/PERFORMANCE.md)")
+    parser.add_argument("--gru_impl", type=str, default="auto",
+                        choices=["auto", "xla", "pallas"],
+                        help="GRU recurrent scan: 'auto' (default) picks the "
+                             "measured per-regime winner — xla lax.scan at "
+                             "the flagship window, the fused pallas kernel "
+                             "at windows >= 1024 (+43% at lookback 8192; "
+                             "docs/PERFORMANCE.md)")
     parser.add_argument("--gru_unroll", type=int, default=4,
                         help="lax.scan unroll for the GRU chains (4 = "
                              "measured sweet spot across lookbacks; "

@@ -20,6 +20,12 @@ def _asdict(obj) -> Dict[str, Any]:
     return dataclasses.asdict(obj)
 
 
+# gru_impl="auto" switches to the fused Pallas GRU scan at this window size:
+# measured crossover (bench_long.py --gru, docs/PERFORMANCE.md) — tie at the
+# flagship window 100, +8%/+31%/+43% at lookback 1024/4096/8192.
+GRU_PALLAS_MIN_WINDOW = 1024
+
+
 @dataclass
 class MTADGATConfig:
     """Model hyper-parameters (reference ``args.py:26-42`` model group and
@@ -54,11 +60,13 @@ class MTADGATConfig:
     # Rematerialize the GAT layers in the backward pass (trade FLOPs for HBM;
     # useful for long windows / large node counts).
     remat_attention: bool = False
-    # GRU recurrent-scan implementation: "xla" (lax.scan, default) or
-    # "pallas" (fused single-launch kernel, kernels/gru_pallas.py). Measured
-    # tie on v5e — both are serial-dependency-bound (docs/PERFORMANCE.md) —
-    # so pallas is an opt-in alternative, not a speedup claim.
-    gru_impl: str = "xla"
+    # GRU recurrent-scan implementation: "auto" (default), "xla" (lax.scan)
+    # or "pallas" (fused single-launch kernel, kernels/gru_pallas.py).
+    # "auto" picks by regime from the measured sweep (docs/PERFORMANCE.md
+    # long-window GRU table): at the flagship window 100 the two tie, so
+    # xla; at window >= GRU_PALLAS_MIN_WINDOW the fused kernel wins
+    # +8%/+31%/+43% at lookback 1024/4096/8192, so pallas.
+    gru_impl: str = "auto"
     # lax.scan unroll factor for both GRU chains (encoder + recon decoder).
     # 4 is the measured fwd+bwd sweet spot at the flagship lookback 100 AND
     # at lookback 1024-8192 (docs/PERFORMANCE.md long-window GRU sweep);
@@ -97,9 +105,9 @@ class MTADGATConfig:
                 f"compute_dtype must be float32|bfloat16, "
                 f"got {self.compute_dtype!r}"
             )
-        if self.gru_impl not in ("xla", "pallas"):
+        if self.gru_impl not in ("auto", "xla", "pallas"):
             raise ValueError(
-                f"gru_impl must be xla|pallas, got {self.gru_impl!r}"
+                f"gru_impl must be auto|xla|pallas, got {self.gru_impl!r}"
             )
         if self.gru_unroll < 1:
             raise ValueError(f"gru_unroll must be >= 1, got {self.gru_unroll}")
@@ -157,6 +165,14 @@ class MTADGATConfig:
                 tuple(int(s) for s in src),
                 tuple(int(d) for d in dst),
             )
+
+    def resolved_gru_impl(self) -> str:
+        """Resolve gru_impl="auto" by regime (measured, docs/PERFORMANCE.md
+        "Long-window GRU sweep"): the fused Pallas scan wins at long windows
+        (+43% at lookback 8192), ties at the flagship window 100."""
+        if self.gru_impl != "auto":
+            return self.gru_impl
+        return "pallas" if self.window_size >= GRU_PALLAS_MIN_WINDOW else "xla"
 
     def feat_embed_dim(self) -> int:
         """Effective feature-GAT embed dim (doubled for GATv2, reference
@@ -257,7 +273,7 @@ class RunConfig:
     seed: int = 0
     compute_dtype: str = "float32"
     attention_impl: str = "dense"
-    gru_impl: str = "xla"
+    gru_impl: str = "auto"
     gru_unroll: int = 4
     data_root: str = "datasets"
     output_root: str = "output"

@@ -78,7 +78,7 @@ class MTADGAT(nn.Module):
             in_dim=3 * c.n_features, hid_dim=c.gru_hid_dim,
             n_layers=c.gru_n_layers, dropout=c.dropout, compute_dtype=cd,
             collect_outputs=False,  # only h_end is consumed (mtad_gat.py:73-74)
-            impl=c.gru_impl, unroll=c.gru_unroll,
+            impl=c.resolved_gru_impl(), unroll=c.gru_unroll,
             name="gru",
         )(h_cat, deterministic=deterministic)
 
@@ -92,7 +92,7 @@ class MTADGAT(nn.Module):
             window_size=c.window_size, in_dim=c.gru_hid_dim,
             hid_dim=c.recon_hid_dim, out_dim=c.out_dim,
             n_layers=c.recon_n_layers, dropout=c.dropout, compute_dtype=cd,
-            gru_impl=c.gru_impl, gru_unroll=c.gru_unroll,
+            gru_impl=c.resolved_gru_impl(), gru_unroll=c.gru_unroll,
             name="recon_model",
         )(h_end, deterministic=deterministic)
 

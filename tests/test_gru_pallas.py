@@ -3,7 +3,10 @@ hidden, the full BPTT backward (dgi, dW_hh, db_hh), and the model-level
 ``gru_impl="pallas"`` config path.
 
 The kernel is reachable via ``MTADGATConfig(gru_impl="pallas")`` /
-``--gru_impl pallas`` but OFF by default: measured on v5e it ties the XLA
+``--gru_impl pallas``; the default ``gru_impl="auto"`` selects it at
+windows >= GRU_PALLAS_MIN_WINDOW where it wins the measured sweep
+(+43% at lookback 8192, docs/PERFORMANCE.md), and the XLA scan at the
+flagship window 100 where the two tie — the round-3 measurement: it ties the XLA
 scan (0.90-0.96x — both are bounded by the serial step dependency, not by
 loop overhead; docs/PERFORMANCE.md).
 """
@@ -115,3 +118,23 @@ def test_gru_impl_validation():
 
     with pytest.raises(ValueError, match="gru_impl"):
         MTADGATConfig(n_features=4, window_size=8, gru_impl="mosaic")
+
+
+def test_gru_impl_auto_resolution():
+    """gru_impl='auto' (the default) resolves by the measured regime:
+    xla at the flagship window, pallas at >= GRU_PALLAS_MIN_WINDOW."""
+    from mtad_gat_tpu.config import GRU_PALLAS_MIN_WINDOW, MTADGATConfig
+
+    short = MTADGATConfig(n_features=4, window_size=100)
+    assert short.gru_impl == "auto"
+    assert short.resolved_gru_impl() == "xla"
+    long = MTADGATConfig(
+        n_features=4, window_size=GRU_PALLAS_MIN_WINDOW,
+        temporal_graph="band:16", bias_storage="band",
+    )
+    assert long.resolved_gru_impl() == "pallas"
+    # explicit settings are never overridden
+    assert MTADGATConfig(
+        n_features=4, window_size=8192, gru_impl="xla",
+        temporal_graph="band:16", bias_storage="band",
+    ).resolved_gru_impl() == "xla"
