@@ -12,8 +12,8 @@ Throughput modes (docs/PERFORMANCE.md "Online serving"):
 - ``--chunk 1``: per-point dispatch — lowest latency (~1 ms compute; the
   rest is attach round-trip).
 - ``--chunk K`` (default 128): K points per jitted ``lax.scan`` dispatch —
-  measured 1,100+ points/s at chunk 512 over the remote tunnel, 31x the
-  per-point rate. Records are identical either way (tested).
+  measured 5,600+ points/s at chunk 512 over the remote tunnel, >150x
+  the per-point rate. Records are identical either way (tested).
 
 Live-stream hygiene: a partially-filled chunk is flushed ``--flush_ms``
 (default 1000) after its first row, so a 1 Hz ``tail -f`` stream alarms
