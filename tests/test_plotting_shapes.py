@@ -336,3 +336,41 @@ def test_plot_anomaly_segments_renders_without_plotly(tmp_path):
     out_png = tmp_path / "segments.png"
     plotter.plot_anomaly_segments(save_path=str(out_png))
     assert out_png.exists() and out_png.stat().st_size > 0
+
+
+def test_plotter_msl_aliasing_and_segments(tmp_path):
+    """MSL/SMAP runs predict one feature: the Plotter aliases the global
+    columns to feature 0 (reference plotting.py:58-66), labels the single
+    segment row 'feat_1' (reference quirk, plotting.py:38-41), and the
+    segments figure works on the aliased frame."""
+    run = tmp_path / "MSL" / "18082026_000000"
+    os.makedirs(run)
+    n, rng = 40, np.random.default_rng(5)
+    cols = {
+        "Forecast_0": rng.random(n), "Recon_0": rng.random(n),
+        "True_0": rng.random(n) * 0.5, "A_Score_0": rng.random(n),
+        "A_Score_Global": rng.random(n),
+        "Thresh_0": np.full(n, 0.7), "A_Pred_0": np.zeros(n),
+        "Thresh_Global": np.full(n, 0.9),
+        "A_Pred_Global": np.zeros(n), "A_True_Global": np.zeros(n),
+    }
+    cols["A_Pred_Global"][5:9] = 1
+    df = pd.DataFrame(cols)
+    df.to_pickle(run / "test_output.pkl")
+    df.drop(columns=["A_True_Global"]).to_pickle(run / "train_output.pkl")
+
+    plotter = Plotter(str(tmp_path / "MSL"), model_id="-1")
+    assert plotter.pred_cols == ["feat_1"]
+    # aliased: feature-0 columns now carry the GLOBAL values
+    np.testing.assert_array_equal(
+        plotter.test_output["A_Score_0"], cols["A_Score_Global"]
+    )
+    np.testing.assert_array_equal(
+        plotter.test_output["A_Pred_0"], cols["A_Pred_Global"]
+    )
+    fig = plotter.anomaly_segments_figure(type="test")
+    assert len(fig["data"]) == 1
+    assert fig["layout"]["annotations"][0]["text"] == "<b>FEAT_1</b>"
+    # one aliased predicted segment -> one rectangle at x0 = 5 - 5
+    shapes = fig["layout"]["shapes"]
+    assert len(shapes) == 1 and shapes[0]["x0"] == 0
