@@ -327,3 +327,68 @@ def test_serve_train_scores_cache_policy(tmp_path):
             mp.setattr(inf, "Predictor", _boom)
             with _pytest.raises(_Rescored):
                 _train_scores(str(tmp_path), dummy_trainer, None, _C, 0, None)
+
+
+def test_serve_cli_spot_threshold(smd_like_root, tmp_path, monkeypatch):
+    """serve.py with --threshold_method spot: streaming POT arms from the
+    training scores and re-fits the GPD tail online — thresholds evolve
+    with the stream (unlike the fixed epsilon) and every record carries the
+    streaming alarm decision."""
+    import sys
+
+    out_root = tmp_path / "output"
+    cfg = RunConfig(
+        dataset="SMD", group="1-1", lookback=20, epochs=1, bs=32,
+        gru_hid_dim=16, fc_hid_dim=16, fc_n_layers=1, recon_hid_dim=16,
+        log_tensorboard=False, data_root=str(smd_like_root),
+        output_root=str(out_root),
+    )
+    run_training(cfg, run_id="01012026_150000")
+
+    with open(os.path.join(
+        str(smd_like_root), "ServerMachineDataset", "processed",
+        "machine-1-1_test.pkl",
+    ), "rb") as f:
+        test_series = pickle.load(f)[:150]
+    stream_csv = tmp_path / "spot_stream.csv"
+    np.savetxt(stream_csv, test_series, delimiter=",")
+    out_jsonl = tmp_path / "spot_records.jsonl"
+
+    from mtad_gat_tpu.cli import serve_cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "serve.py", "--dataset", "SMD", "--group", "1-1",
+        "--model_id", "01012026_150000",
+        "--data_root", str(smd_like_root), "--output_root", str(out_root),
+        "--input", str(stream_csv), "--output", str(out_jsonl),
+        "--chunk", "32", "--threshold_method", "spot",
+        "--log_tensorboard", "False",
+    ])
+    serve_cli.main()
+
+    records = [json.loads(line) for line in out_jsonl.read_text().splitlines()]
+    assert len(records) == 150
+    assert all(np.isfinite(r["threshold"]) for r in records)
+    assert all(isinstance(r["is_anomaly"], bool) for r in records)
+    # the streaming-POT threshold matches replaying the same scores through
+    # SPOT.step armed identically from the cached raw train scores
+    import pandas as pd
+
+    from mtad_gat_tpu.inference import SPOT
+
+    run_dir = os.path.join(str(out_root), "SMD", "1-1", "01012026_150000")
+    train_scores = pd.read_pickle(
+        os.path.join(run_dir, "train_output.pkl")
+    )["A_Score_Global"].to_numpy()
+    from mtad_gat_tpu.config import lookup_pot_params
+
+    level, q, _ = lookup_pot_params("SMD", "1-1", cfg.level, cfg.q)
+    spot = SPOT(q)
+    spot.fit(np.asarray(train_scores, np.float64), np.empty(0))
+    spot.initialize(level=level)
+    for r in records:
+        want_thresh = None
+        is_anom = spot.step(r["score"])
+        want_thresh = float(spot.extreme_quantile)
+        assert r["is_anomaly"] == is_anom
+        assert r["threshold"] == pytest.approx(want_thresh, rel=1e-12)
