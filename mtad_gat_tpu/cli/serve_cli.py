@@ -18,9 +18,11 @@ Throughput modes (docs/PERFORMANCE.md "Online serving"):
 Live-stream hygiene: a partially-filled chunk is flushed ``--flush_ms``
 (default 1000) after its first row, so a 1 Hz ``tail -f`` stream alarms
 within a second instead of waiting for the chunk to fill; partial chunks
-are zero-padded to the compiled chunk length (masked in-kernel) so variable
-chunk sizes never trigger a mid-stream XLA recompile; malformed rows are
-skipped-and-logged by default (``--bad_line strict`` to raise instead).
+are zero-padded up to a small ladder of compiled scan lengths
+(1/8/32/chunk, masked in-kernel) so variable chunk sizes never trigger a
+mid-stream XLA recompile AND a timer-flushed single row never pays the
+full chunk's sequential compute; malformed rows are skipped-and-logged by
+default (``--bad_line strict`` to raise instead).
 
 Usage::
 
@@ -65,6 +67,13 @@ def _train_scores(model_path: str, trainer, x_train, cfg, n_features,
         if "A_Score_Global" in df.columns:
             print(f"Calibrating threshold from cached {cached}")
             return df["A_Score_Global"].to_numpy()
+    # sidecar raw-score cache: rescoring the whole training split on every
+    # server start (the MSL/SMAP / scale_scores path) is minutes of
+    # startup; the raw scores are run-immutable, so persist them once
+    sidecar = os.path.join(model_path, "train_scores_raw.npy")
+    if os.path.exists(sidecar):
+        print(f"Calibrating threshold from cached {sidecar}")
+        return np.load(sidecar)
     from mtad_gat_tpu.inference import Predictor
 
     print("Calibrating threshold: scoring the training split..")
@@ -78,7 +87,12 @@ def _train_scores(model_path: str, trainer, x_train, cfg, n_features,
         },
         batch_size=cfg.bs, data_root=cfg.data_root,
     )
-    return predictor.get_score(x_train)["A_Score_Global"].to_numpy()
+    scores = predictor.get_score(x_train)["A_Score_Global"].to_numpy()
+    try:
+        np.save(sidecar, scores)
+    except OSError as e:
+        print(f"serve: could not persist {sidecar}: {e}", file=sys.stderr)
+    return scores
 
 
 def _parse_row(line: str, n_features: int, bad_line: str, lineno: int):
@@ -239,9 +253,11 @@ def main() -> None:
 
     # Serve use_mov_av runs exactly: the offline EWM smoothing streams
     # (OnlineScorer._smooth_score), span per reference prediction.py:132-135
-    smoothing_span = None
+    span = None
     if cfg.use_mov_av:
-        smoothing_span = max(1, int(256 * cfg.lookback * 0.05))
+        from mtad_gat_tpu.inference.predictor import smoothing_span
+
+        span = smoothing_span(cfg.lookback)
     if cfg.scale_scores:
         print(
             "serve: WARNING — this run used scale_scores=True; the offline "
@@ -253,18 +269,18 @@ def main() -> None:
     scorer = OnlineScorer(
         trainer.model, trainer.state.params, cfg.lookback, n_features,
         target_dims=target_dims, gamma=cfg.gamma,
-        smoothing_span=smoothing_span,
+        smoothing_span=span,
     )
     train_scores = _train_scores(
         model_path, trainer, x_train, cfg, n_features, target_dims
     )
-    if smoothing_span is not None:
+    if span is not None:
         # calibrate on SMOOTHED train scores — what the offline eval
         # thresholds on (reference prediction.py:158-163)
         import pandas as pd
 
         train_scores = (
-            pd.Series(train_scores).ewm(span=smoothing_span).mean().to_numpy()
+            pd.Series(train_scores).ewm(span=span).mean().to_numpy()
         )
     level, q, reg_level = lookup_pot_params(dataset, args.group, cfg.level, cfg.q)
     scorer.fit_threshold(
@@ -274,11 +290,21 @@ def main() -> None:
 
     # warm the window with the tail of the training series so the stream is
     # scoreable from its first point (the model has seen this data); feed it
-    # in serving-sized padded chunks so serving reuses ONE compiled program
+    # in serving-sized padded chunks so serving reuses compiled programs
     chunk = max(1, args.chunk)
+    # Padding buckets: a timer-flushed 1-row chunk on a chunk-128 server
+    # must not pay 128 sequential forwards — pad up to the smallest bucket
+    # instead. Each bucket compiles once (lazily; the persistent compile
+    # cache makes later sessions free), full chunks still hit one program.
+    buckets = sorted({b for b in (1, 8, 32, chunk) if b <= chunk})
+
+    def bucket_for(n: int) -> int:
+        return next(b for b in buckets if b >= n)
+
     prime = x_train[-cfg.lookback:]
     for i in range(0, prime.shape[0], chunk):
-        scorer.update_many(prime[i:i + chunk], pad_to=chunk)
+        n = min(chunk, prime.shape[0] - i)
+        scorer.update_many(prime[i:i + chunk], pad_to=bucket_for(n))
     print(f"Serving: window primed with the last {cfg.lookback} train "
           f"points; chunk={chunk}, threshold={args.threshold_method}",
           file=sys.stderr)
@@ -294,7 +320,7 @@ def main() -> None:
                     np.asarray(batch, np.float32)
                 )
                 batch = scaler.transform(batch)
-            for rec in scorer.update_many(batch, pad_to=chunk):
+            for rec in scorer.update_many(batch, pad_to=bucket_for(len(batch))):
                 n_pts += 1
                 n_alarms += bool(rec.get("is_anomaly"))
                 sink.write(json.dumps({

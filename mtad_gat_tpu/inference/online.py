@@ -175,7 +175,16 @@ class OnlineScorer:
     ) -> None:
         """Arm the alarm from training-split global scores (produced offline
         by ``Predictor.get_score`` or by replaying the train series through
-        ``update``)."""
+        ``update``). When the run uses ``use_mov_av``, pass SMOOTHED train
+        scores — that is what the offline evaluation thresholds on.
+
+        Also restarts the streaming EWM state: the offline smoother runs
+        over each split as its own series (reference ``prediction.py:
+        132-135`` smooths train and test independently), so a calibration
+        replay through ``update_many`` must not leak its EWM state into the
+        stream that follows."""
+        self._ewm_avg = None
+        self._ewm_old_wt = 1.0
         train_scores = np.asarray(train_scores, np.float64)
         if method == "epsilon":
             self._epsilon = float(find_epsilon(train_scores, reg_level=reg_level))

@@ -43,6 +43,15 @@ from mtad_gat_tpu.inference.eval_methods import (
 from mtad_gat_tpu.models import MTADGAT
 
 
+def smoothing_span(window_size: int, base: int = 256) -> int:
+    """The reference's EWM span: int(256 * window * 0.05), where 256 is its
+    Predictor's HARDCODED batch size (prediction.py:31,133) — NOT the
+    scoring batch. Shared by the offline smoother and the serving CLI so
+    the stream is smoothed (and its threshold calibrated) with exactly the
+    offline span."""
+    return max(1, int(base * window_size * 0.05))
+
+
 class Predictor:
     """Mirrors the reference Predictor surface: ``get_score`` and
     ``predict_anomalies`` (``prediction.py:36,96``)."""
@@ -195,7 +204,7 @@ class Predictor:
         int(256 * window * 0.05) where 256 is the reference Predictor's
         HARDCODED batch size (prediction.py:31,133) — NOT this predictor's
         scoring batch: smoothed scores must be invariant to --bs."""
-        span = int(self.smoothing_base * self.window_size * 0.05)
+        span = smoothing_span(self.window_size, self.smoothing_base)
         return pd.Series(scores).ewm(span=span).mean().to_numpy()
 
     def _annotate_feature_thresholds(self, frames) -> None:

@@ -57,9 +57,32 @@ from mtad_gat_tpu.parallel.sharding import constrain
 # GATv2 complete graph auto-routes to the fused Pallas kernel: measured on
 # the 16 GB bench chip, dense OOMs at N=65,536/b=1 (17.2 GB scores) while
 # the blockwise kernel peaks at 0.09 GiB and keeps running
-# (bench_edges.py --crossover; docs/PERFORMANCE.md). 14 GiB leaves room for
-# params/temps alongside the score tensor.
-PALLAS_AUTO_SCORE_BYTES = 14 * 2**30
+# (bench_edges.py --crossover; docs/PERFORMANCE.md). Set to an int to pin
+# the threshold; None (default) derives 7/8 of the attached device's HBM
+# when the runtime reports it, else falls back to 14 GiB (the remote-attach
+# tunnel exposes no memory_stats). NOTE: under a vmapped entity axis
+# (MultiEntityTrainer) the batch dim excludes the entity axis, so the
+# estimate undercounts by n_entities — pin explicitly for huge complete
+# graphs in fleet training.
+PALLAS_AUTO_SCORE_BYTES = None
+_PALLAS_AUTO_FALLBACK = 14 * 2**30
+_device_limit_cache = []
+
+
+def _pallas_auto_threshold() -> int:
+    if PALLAS_AUTO_SCORE_BYTES is not None:
+        return PALLAS_AUTO_SCORE_BYTES
+    if not _device_limit_cache:
+        limit = None
+        try:
+            stats = jax.devices()[0].memory_stats()
+            limit = (stats or {}).get("bytes_limit")
+        except Exception:
+            limit = None
+        _device_limit_cache.append(
+            int(limit * 7 / 8) if limit else _PALLAS_AUTO_FALLBACK
+        )
+    return _device_limit_cache[0]
 
 
 class _GATCore(nn.Module):
@@ -209,7 +232,8 @@ class _GATCore(nn.Module):
             # stays the default.
             score_bytes = 4 * v.shape[0] * self.n_nodes * self.n_nodes
             if self.impl == "pallas" or (
-                self.impl == "dense" and score_bytes > PALLAS_AUTO_SCORE_BYTES
+                self.impl == "dense"
+                and score_bytes > _pallas_auto_threshold()
             ):
                 from mtad_gat_tpu.kernels.gat_pallas import gatv2_attention_fused
 

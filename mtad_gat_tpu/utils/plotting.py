@@ -442,10 +442,15 @@ class Plotter:
             type=type, num_aligned_segments=num_aligned_segments,
             show_boring_series=show_boring_series,
         )
+        # non-.html save paths always get a real raster via matplotlib —
+        # fig.write_html into a .png name would silently save an HTML file
+        if save_path and not save_path.endswith(".html"):
+            self._mpl_render_segments(fig_dict, save_path)
+            return
         try:
             import plotly.graph_objects as go
         except ImportError:
-            if save_path and save_path.endswith(".html"):
+            if save_path:
                 self.write_plotly_html(fig_dict, save_path)
                 return
             self._mpl_render_segments(fig_dict, save_path)
@@ -600,15 +605,25 @@ class Plotter:
         save_path still gets a real interactive figure (CDN-embedded spec),
         and only the no-save interactive display falls back to matplotlib."""
         fig_dict = self.plotly_global_figure(plot_train=plot_train)
+        # non-.html save paths always get a real raster via matplotlib —
+        # fig.write_html into a .png name would silently save an HTML file
+        if save_path and not save_path.endswith(".html"):
+            import importlib.util
+
+            if importlib.util.find_spec("plotly") is None:
+                print("plotly not installed; falling back to matplotlib display")
+            return self.plot_global_predictions(
+                type="train" if plot_train else "test", save_path=save_path
+            )
         try:
             import plotly.graph_objects as go
         except ImportError:
-            if save_path and save_path.endswith(".html"):
+            if save_path:
                 self.write_plotly_html(fig_dict, save_path)
                 return
             print("plotly not installed; falling back to matplotlib display")
             return self.plot_global_predictions(
-                type="train" if plot_train else "test", save_path=save_path
+                type="train" if plot_train else "test"
             )
 
         fig = go.Figure(fig_dict)

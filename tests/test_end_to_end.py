@@ -392,3 +392,50 @@ def test_serve_cli_spot_threshold(smd_like_root, tmp_path, monkeypatch):
         want_thresh = float(spot.extreme_quantile)
         assert r["is_anomaly"] == is_anom
         assert r["threshold"] == pytest.approx(want_thresh, rel=1e-12)
+
+
+def test_serve_sidecar_raw_score_cache(smd_like_root, tmp_path):
+    """When the reference pickle cache is unusable, _train_scores rescores
+    ONCE and persists a raw-score sidecar (train_scores_raw.npy); the next
+    server start reads it instead of re-running the Predictor."""
+    import types
+
+    from mtad_gat_tpu.cli.serve_cli import _train_scores
+    from mtad_gat_tpu.data import get_data
+    from mtad_gat_tpu.training import Trainer
+
+    out_root = tmp_path / "output"
+    cfg = RunConfig(
+        dataset="SMD", group="1-1", lookback=20, epochs=1, bs=32,
+        gru_hid_dim=16, fc_hid_dim=16, fc_n_layers=1, recon_hid_dim=16,
+        log_tensorboard=False, data_root=str(smd_like_root),
+        output_root=str(out_root),
+    )
+    run_dir = run_training(cfg, run_id="01012026_160000")
+    os.remove(os.path.join(run_dir, "train_output.pkl"))
+
+    (x_train, _), _ = get_data(
+        "machine-1-1", data_root=str(smd_like_root), normalize=True
+    )
+    trainer = Trainer(
+        cfg.model_config(38, 38), cfg.train_config(),
+        save_path=run_dir, log_dir=os.path.join(run_dir, "logs"),
+    )
+    trainer.load(os.path.join(run_dir, "model.msgpack"))
+    scfg = types.SimpleNamespace(
+        dataset="SMD", scale_scores=True, use_mov_av=False,
+        lookback=20, gamma=1.0, bs=32, data_root=str(smd_like_root),
+    )
+    first = _train_scores(run_dir, trainer, x_train, scfg, 38, None)
+    sidecar = os.path.join(run_dir, "train_scores_raw.npy")
+    assert os.path.exists(sidecar)
+    # second start: served from the sidecar even with the Predictor broken
+    import pytest as _pytest
+
+    import mtad_gat_tpu.inference as inf
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(inf, "Predictor",
+                   lambda *a, **k: (_ for _ in ()).throw(AssertionError))
+        second = _train_scores(run_dir, trainer, x_train, scfg, 38, None)
+    np.testing.assert_array_equal(first, second)

@@ -232,3 +232,28 @@ def test_update_many_pad_to_identical(model_and_params):
     )
     np.testing.assert_array_equal(a._buffer, b._buffer)
     np.testing.assert_array_equal(a._pending_forecast, b._pending_forecast)
+
+
+def test_fit_threshold_resets_ewm_state(model_and_params):
+    """fit_threshold restarts the streaming EWM: a calibration replay of
+    the train series must not leak its EWM state into the stream (the
+    offline smoother runs over each split as its own series, reference
+    prediction.py:132-135)."""
+    import pandas as pd
+
+    model, params = model_and_params
+    train, test, _ = synthetic_series(n_train=150, n_test=60, n_features=K)
+    span = 9
+
+    sm = OnlineScorer(model, params, W, K, smoothing_span=span)
+    train_records = sm.update_many(train)          # EWM state advanced
+    sm.fit_threshold(
+        np.array([r["score"] for r in train_records]), method="epsilon"
+    )
+    got = np.array([r["score"] for r in sm.update_many(test)])
+
+    raw = OnlineScorer(model, params, W, K)
+    raw.update_many(train)                          # same window state
+    raw_scores = np.array([r["score"] for r in raw.update_many(test)])
+    want = pd.Series(raw_scores).ewm(span=span).mean().to_numpy()
+    np.testing.assert_array_equal(got, want)

@@ -335,7 +335,9 @@ def test_plot_anomaly_segments_renders_without_plotly(tmp_path):
     assert "Plotly.newPlot" in out_html.read_text()
     out_png = tmp_path / "segments.png"
     plotter.plot_anomaly_segments(save_path=str(out_png))
-    assert out_png.exists() and out_png.stat().st_size > 0
+    # a real PNG raster, never HTML-bytes-in-a-.png (regardless of whether
+    # plotly is installed: non-.html paths always render via matplotlib)
+    assert out_png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
 
 
 def test_plotter_msl_aliasing_and_segments(tmp_path):
