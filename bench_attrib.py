@@ -10,8 +10,10 @@ time goes (traced)" table in docs/PERFORMANCE.md.
 
 Usage::
 
-    python bench_attrib.py                # capture on the attached TPU + parse
-    python bench_attrib.py /tmp/prof1     # parse an existing trace directory
+    python bench_attrib.py                    # capture on the TPU + parse
+    python bench_attrib.py /tmp/prof1 [steps] # parse an existing trace dir
+                                              # (steps = scan length traced,
+                                              # default 50)
 
 The parser needs only the xplane proto schema
 (tensorflow.tsl.profiler.protobuf), not the tensorboard profile plugin —
@@ -25,11 +27,14 @@ from __future__ import annotations
 
 import collections
 import glob
+import os
 import re
 import sys
 
-NSTEPS = 50
-BS = 256
+# Override via env for non-flagship regimes, e.g. the bs-1024 batch-scaling
+# attribution in docs/PERFORMANCE.md: ATTRIB_BS=1024 ATTRIB_STEPS=12
+NSTEPS = int(os.environ.get("ATTRIB_STEPS", 50))
+BS = int(os.environ.get("ATTRIB_BS", 256))
 
 
 def capture(trace_dir: str) -> None:
@@ -78,34 +83,36 @@ def capture(trace_dir: str) -> None:
 
 
 def module_of(short: str, full: str) -> str:
-    """Roll an HLO op into a model module by its output-shape signature
-    (shapes are unambiguous at the flagship config; provenance spot-checked
-    against the op_name metadata in the compiled HLO)."""
+    """Roll an HLO op into a model module by its output-shape signature,
+    batch-size-agnostic (trailing dims identify the module at the flagship
+    layer sizes; provenance spot-checked against the op_name metadata in
+    the compiled HLO)."""
     sh = re.search(r"= \(?(?:bf16|f32|s32|u32|pred)\[([0-9,]*)\]", full)
     sh = sh.group(1) if sh else ""
+    dims = sh.split(",") if sh else []
+    tail2 = ",".join(dims[-2:])
     if short.startswith("while"):
         # the outermost while is the epoch scan; inner whiles are GRU scans
         return "scan-loop overhead"
     if "dynamic-slice" in short or "dynamic-update" in short:
         return "gru scan body (slices)"
-    if sh in ("256,150", "4,256,150", "25,4,256,150", "256,100,150"):
+    if dims and dims[-1] == "150":
         return "gru scan body (cell fusions)"
-    if sh in ("256,100,100", "256,100,76", "76", "100,100", "256,100",
-              "256,100,38"):
+    if tail2 in ("100,100", "100,76", "100,38") or sh in ("76", "100,100") \
+            or (len(dims) == 2 and dims[-1] == "100"):
         return "temporal GAT"
-    if sh in ("256,38,38", "256,38,200", "200", "38,38"):
+    if tail2 in ("38,38", "38,200") or sh in ("200", "38,38"):
         return "feature GAT"
-    if sh in ("256,100,450", "450", "150,450", "114,450") \
-            and "multiply_add" not in short:
+    if dims and dims[-1] == "450" and "multiply_add" not in short:
         return "gru input proj / grads"
     if "multiply_add_fusion" in short:
         return "adam update"
-    if sh.startswith("25600") or sh.startswith("13000"):
+    if dims and len(dims) == 2 and int(dims[0] or 0) > 10000:
         return "window gather"
     return "other"
 
 
-def parse(trace_dir: str) -> None:
+def parse(trace_dir: str, nsteps: int = NSTEPS) -> None:
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     path = sorted(
@@ -117,6 +124,7 @@ def parse(trace_dir: str) -> None:
     plane = next(p for p in xs.planes if p.name == "/device:TPU:0")
     md = plane.event_metadata
     line = next(l for l in plane.lines if l.name == "XLA Ops")
+    NS = nsteps
 
     evs = []
     copies_ps = copy_cnt = 0
@@ -168,22 +176,23 @@ def parse(trace_dir: str) -> None:
         mods[m] += ps
         modcnt[m] += cnt[nm]
     total = sum(excl.values())
-    print(f"device busy: {total / 1e9 / NSTEPS:.3f} ms/step "
-          f"(+async copies {copies_ps / 1e9 / NSTEPS:.3f} ms/step "
-          f"overlapped, x{copy_cnt / NSTEPS:.0f}/step)")
+    print(f"device busy: {total / 1e9 / NS:.3f} ms/step "
+          f"(+async copies {copies_ps / 1e9 / NS:.3f} ms/step "
+          f"overlapped, x{copy_cnt / NS:.0f}/step)")
     for m, ps in mods.most_common():
-        print(f"{ps / total * 100:6.2f}%  {ps / 1e6 / NSTEPS:8.1f} us/step"
-              f"  x{modcnt[m] / NSTEPS:7.1f}/step  {m}")
+        print(f"{ps / total * 100:6.2f}%  {ps / 1e6 / NS:8.1f} us/step"
+              f"  x{modcnt[m] / NS:7.1f}/step  {m}")
     print("\ntop 12 ops by exclusive time:")
     for nm, ps in excl.most_common(12):
         sh = re.search(r"= (\(?[a-z0-9]+\[[0-9,]*\])", rep_name[nm])
-        print(f"  {ps / 1e6 / NSTEPS:8.2f} us/step x{cnt[nm] / NSTEPS:5.1f}"
+        print(f"  {ps / 1e6 / NS:8.2f} us/step x{cnt[nm] / NS:5.1f}"
               f"  {nm}  {sh.group(1) if sh else '?'}")
 
 
 def main() -> None:
     if len(sys.argv) > 1:
-        parse(sys.argv[1])
+        parse(sys.argv[1],
+              int(sys.argv[2]) if len(sys.argv) > 2 else NSTEPS)
         return
     import tempfile
 
