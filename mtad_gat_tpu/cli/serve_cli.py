@@ -24,6 +24,15 @@ mid-stream XLA recompile AND a timer-flushed single row never pays the
 full chunk's sequential compute; malformed rows are skipped-and-logged by
 default (``--bad_line strict`` to raise instead).
 
+Production extensions (r5): ``--state_file`` persists the full streaming
+state (ring buffer, EWM scalars, SPOT/dSPOT threshold state, position)
+atomically after every chunk and on exit, and resumes from it on start — a
+killed server continues exactly where it left off (tested kill-and-resume
+bit-identical); ``--threshold_method dspot`` arms drift-aware streaming POT
+(subtract a ``--drift_depth`` moving average before thresholding);
+``--emit_features K`` adds the top-K per-feature anomaly scores to each
+record for incident triage.
+
 Usage::
 
     python serve.py --dataset SMD --group 1-1 --model_id -1 \
@@ -188,10 +197,25 @@ def main() -> None:
     parser.add_argument("--output", type=str, default="-",
                         help="JSONL records destination; '-' = stdout")
     parser.add_argument("--threshold_method", type=str, default="epsilon",
-                        choices=["epsilon", "spot"],
+                        choices=["epsilon", "spot", "dspot"],
                         help="alarm: fixed Hundman epsilon from train "
-                             "scores, or streaming POT (GPD tail re-fit "
-                             "per peak)")
+                             "scores, streaming POT (GPD tail re-fit per "
+                             "peak), or drift-aware streaming POT (dspot: "
+                             "subtracts a --drift_depth moving average "
+                             "first — for wandering score baselines)")
+    parser.add_argument("--drift_depth", type=int, default=450,
+                        help="dspot drift-window depth (points of moving "
+                             "average subtracted before thresholding)")
+    parser.add_argument("--state_file", type=str, default="",
+                        help="persist streaming state (ring buffer, EWM, "
+                             "threshold/SPOT state, position) here on exit "
+                             "and resume from it on start: a killed server "
+                             "continues exactly where it left off instead "
+                             "of re-priming and re-calibrating")
+    parser.add_argument("--emit_features", type=int, default=0,
+                        help="include the top-K per-feature anomaly scores "
+                             "in each record as [feature_index, score] "
+                             "pairs (incident triage; 0 = global only)")
     parser.add_argument("--chunk", type=int, default=128,
                         help="points per jitted dispatch (1 = lowest "
                              "latency; larger = higher throughput)")
@@ -271,26 +295,6 @@ def main() -> None:
         target_dims=target_dims, gamma=cfg.gamma,
         smoothing_span=span,
     )
-    train_scores = _train_scores(
-        model_path, trainer, x_train, cfg, n_features, target_dims
-    )
-    if span is not None:
-        # calibrate on SMOOTHED train scores — what the offline eval
-        # thresholds on (reference prediction.py:158-163)
-        import pandas as pd
-
-        train_scores = (
-            pd.Series(train_scores).ewm(span=span).mean().to_numpy()
-        )
-    level, q, reg_level = lookup_pot_params(dataset, args.group, cfg.level, cfg.q)
-    scorer.fit_threshold(
-        train_scores, method=args.threshold_method,
-        reg_level=reg_level, q=q, level=level,
-    )
-
-    # warm the window with the tail of the training series so the stream is
-    # scoreable from its first point (the model has seen this data); feed it
-    # in serving-sized padded chunks so serving reuses compiled programs
     chunk = max(1, args.chunk)
     # Padding buckets: a timer-flushed 1-row chunk on a chunk-128 server
     # must not pay 128 sequential forwards — pad up to the smallest bucket
@@ -301,13 +305,43 @@ def main() -> None:
     def bucket_for(n: int) -> int:
         return next(b for b in buckets if b >= n)
 
-    prime = x_train[-cfg.lookback:]
-    for i in range(0, prime.shape[0], chunk):
-        n = min(chunk, prime.shape[0] - i)
-        scorer.update_many(prime[i:i + chunk], pad_to=bucket_for(n))
-    print(f"Serving: window primed with the last {cfg.lookback} train "
-          f"points; chunk={chunk}, threshold={args.threshold_method}",
-          file=sys.stderr)
+    if args.state_file and os.path.exists(args.state_file):
+        # crash/restart resume: ring buffer + EWM + threshold/SPOT state +
+        # position restored exactly; no re-priming, no re-calibration
+        scorer.load_state_file(args.state_file)
+        print(f"Serving: resumed streaming state from {args.state_file} "
+              f"(t={scorer._seen}); chunk={chunk}", file=sys.stderr)
+    else:
+        train_scores = _train_scores(
+            model_path, trainer, x_train, cfg, n_features, target_dims
+        )
+        if span is not None:
+            # calibrate on SMOOTHED train scores — what the offline eval
+            # thresholds on (reference prediction.py:158-163)
+            import pandas as pd
+
+            train_scores = (
+                pd.Series(train_scores).ewm(span=span).mean().to_numpy()
+            )
+        level, q, reg_level = lookup_pot_params(
+            dataset, args.group, cfg.level, cfg.q
+        )
+        scorer.fit_threshold(
+            train_scores, method=args.threshold_method,
+            reg_level=reg_level, q=q, level=level,
+            drift_depth=args.drift_depth,
+        )
+
+        # warm the window with the tail of the training series so the
+        # stream is scoreable from its first point (the model has seen this
+        # data); feed it in padded chunks so serving reuses the programs
+        prime = x_train[-cfg.lookback:]
+        for i in range(0, prime.shape[0], chunk):
+            n = min(chunk, prime.shape[0] - i)
+            scorer.update_many(prime[i:i + chunk], pad_to=bucket_for(n))
+        print(f"Serving: window primed with the last {cfg.lookback} train "
+              f"points; chunk={chunk}, threshold={args.threshold_method}",
+              file=sys.stderr)
 
     sink = sys.stdout if args.output == "-" else open(args.output, "w")
     n_pts = n_alarms = 0
@@ -323,14 +357,25 @@ def main() -> None:
             for rec in scorer.update_many(batch, pad_to=bucket_for(len(batch))):
                 n_pts += 1
                 n_alarms += bool(rec.get("is_anomaly"))
-                sink.write(json.dumps({
+                out = {
                     "t": int(rec["t"]),
                     "score": float(rec["score"]),
                     "threshold": float(rec["threshold"]),
                     "is_anomaly": bool(rec["is_anomaly"]),
-                }) + "\n")
+                }
+                if args.emit_features > 0:
+                    a = np.asarray(rec["a_score"])
+                    top = np.argsort(a)[::-1][: args.emit_features]
+                    out["top_features"] = [
+                        [int(i), float(a[i])] for i in top
+                    ]
+                sink.write(json.dumps(out) + "\n")
             sink.flush()
+            if args.state_file:
+                scorer.save_state(args.state_file)
     finally:
+        if args.state_file:
+            scorer.save_state(args.state_file)
         if sink is not sys.stdout:
             sink.close()
     print(f"Served {n_pts} points, {n_alarms} alarms.", file=sys.stderr)

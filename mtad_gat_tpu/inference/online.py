@@ -172,6 +172,7 @@ class OnlineScorer:
         reg_level: int = 1,
         q: float = 1e-3,
         level: float = 0.98,
+        drift_depth: int = 450,
     ) -> None:
         """Arm the alarm from training-split global scores (produced offline
         by ``Predictor.get_score`` or by replaying the train series through
@@ -194,8 +195,26 @@ class OnlineScorer:
             spot.fit(train_scores, np.empty(0))
             spot.initialize(level=level)
             self._spot = spot
+        elif method == "dspot":
+            # drift-aware streaming POT (dSPOT.step): subtract a depth-window
+            # moving average before thresholding — for streams whose score
+            # baseline wanders. No reference serving counterpart (its dSPOT
+            # is offline-only and unused by its pipeline, spot.py:1070-1552).
+            from mtad_gat_tpu.inference.spot import dSPOT
+
+            if train_scores.size <= drift_depth:
+                raise ValueError(
+                    f"dspot needs more than drift_depth={drift_depth} "
+                    f"calibration scores, got {train_scores.size}"
+                )
+            dspot = dSPOT(q, drift_depth)
+            dspot.fit(train_scores, np.empty(0))
+            dspot.initialize()
+            self._spot = dspot
         else:
-            raise ValueError(f"threshold method must be epsilon|spot, got {method!r}")
+            raise ValueError(
+                f"threshold method must be epsilon|spot|dspot, got {method!r}"
+            )
         self._threshold_method = method
 
     # ------------------------------------------------------------------
@@ -227,6 +246,64 @@ class OnlineScorer:
         # NEXT point; hold it ON DEVICE until that point arrives
         self._pending_forecast = forecast
         return record
+
+    # ------------------------------------------------------------------
+    def state_dict(self) -> Dict:
+        """Serializable streaming state: ring buffer, pending forecast,
+        position, EWM scalars, and the armed threshold (epsilon value or
+        the SPOT/dSPOT object). With this, a serving process can be killed
+        and resumed exactly where it left off (``serve.py --state_file``)
+        instead of re-priming from the train tail and re-calibrating."""
+        return {
+            "window": self.window,
+            "n_features": self.n_features,
+            "buffer": np.asarray(self._buffer),
+            "pending": np.asarray(self._pending_forecast),
+            "seen": self._seen,
+            "ewm_avg": self._ewm_avg,
+            "ewm_old_wt": self._ewm_old_wt,
+            "smoothing_span": self.smoothing_span,
+            "threshold_method": self._threshold_method,
+            "epsilon": self._epsilon,
+            "spot": self._spot,
+        }
+
+    def load_state(self, state: Dict) -> None:
+        if (state["window"], state["n_features"]) != (self.window, self.n_features):
+            raise ValueError(
+                f"state is for window={state['window']}/k={state['n_features']}, "
+                f"scorer is window={self.window}/k={self.n_features}"
+            )
+        if state["smoothing_span"] != self.smoothing_span:
+            raise ValueError(
+                f"state has smoothing_span={state['smoothing_span']}, "
+                f"scorer has {self.smoothing_span}"
+            )
+        self._buffer = jnp.asarray(state["buffer"], jnp.float32)
+        self._pending_forecast = jnp.asarray(state["pending"], jnp.float32)
+        self._seen = int(state["seen"])
+        self._ewm_avg = state["ewm_avg"]
+        self._ewm_old_wt = state["ewm_old_wt"]
+        self._threshold_method = state["threshold_method"]
+        self._epsilon = state["epsilon"]
+        self._spot = state["spot"]
+
+    def save_state(self, path: str) -> None:
+        """Atomically persist :meth:`state_dict` (write + rename)."""
+        import pickle
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(self.state_dict(), f)
+        import os
+
+        os.replace(tmp, path)
+
+    def load_state_file(self, path: str) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            self.load_state(pickle.load(f))
 
     def _smooth_score(self, score: float) -> float:
         """Streaming EWM, bit-exact to pandas ``ewm(span, adjust=True).mean()``
@@ -265,6 +342,9 @@ class OnlineScorer:
         elif self._threshold_method == "spot":
             record["is_anomaly"] = self._spot.step(record["score"])
             record["threshold"] = float(self._spot.extreme_quantile)
+        elif self._threshold_method == "dspot":
+            record["is_anomaly"] = self._spot.step(record["score"])
+            record["threshold"] = float(self._spot.last_threshold)
 
     def update_many(self, xs: np.ndarray, pad_to: Optional[int] = None) -> list:
         """Feed a chunk of observations (T, n_features) through ONE jitted

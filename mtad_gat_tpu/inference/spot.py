@@ -637,6 +637,44 @@ class dSPOT:
             th.append(self.extreme_quantile + Mi)
         return {"thresholds": th, "alarms": alarm}
 
+    def step(self, x: float, with_alarm: bool = True) -> bool:
+        """One streaming point of the drift-aware loop (the body of ``run``,
+        incrementalized for online serving). Maintains the depth-window
+        drift mean as streaming state; semantics identical to ``run``
+        point-for-point (tested): an over-quantile drift-corrected point
+        alarms and FREEZES the drift window; otherwise peaks re-fit the GPD
+        and the window advances. Sets ``last_threshold`` to the
+        drift-adjusted alarm level this point was compared against
+        (``extreme_quantile + drift mean`` — what run() records in
+        ``thresholds``)."""
+        if not hasattr(self, "_W") or self._W is None:
+            self._W = np.asarray(
+                self.init_data[-self.depth:], dtype=np.float64
+            ).copy()
+        Mi = self._W.mean()
+        xd = x - Mi
+        alarmed = False
+        if xd > self.extreme_quantile:
+            if with_alarm:
+                alarmed = True  # drift window freezes during alarms
+            else:
+                self.peaks = np.append(self.peaks, xd - self.init_threshold)
+                self.Nt += 1
+                self.n += 1
+                self._refit()
+                self._W = np.append(self._W[1:], x)
+        elif xd > self.init_threshold:
+            self.peaks = np.append(self.peaks, xd - self.init_threshold)
+            self.Nt += 1
+            self.n += 1
+            self._refit()
+            self._W = np.append(self._W[1:], x)
+        else:
+            self.n += 1
+            self._W = np.append(self._W[1:], x)
+        self.last_threshold = float(self.extreme_quantile + Mi)
+        return alarmed
+
     def plot(self, run_results: Dict, with_alarm: bool = True) -> list:
         """Reference ``dSPOT`` plotting surface (drift-added thresholds are
         already baked into the run result's series)."""

@@ -439,3 +439,72 @@ def test_serve_sidecar_raw_score_cache(smd_like_root, tmp_path):
                    lambda *a, **k: (_ for _ in ()).throw(AssertionError))
         second = _train_scores(run_dir, trainer, x_train, scfg, 38, None)
     np.testing.assert_array_equal(first, second)
+
+
+def test_serve_cli_state_file_kill_and_resume(
+    smd_like_root, tmp_path, monkeypatch
+):
+    """serve.py --state_file: two server sessions over a split stream emit
+    exactly the records of one uninterrupted session (ring buffer, EWM,
+    SPOT state, and position resume from the persisted state), and
+    --emit_features adds the top-K per-feature scores."""
+    import sys
+
+    out_root = tmp_path / "output"
+    cfg = RunConfig(
+        dataset="SMD", group="1-1", lookback=20, epochs=1, bs=32,
+        gru_hid_dim=16, fc_hid_dim=16, fc_n_layers=1, recon_hid_dim=16,
+        log_tensorboard=False, data_root=str(smd_like_root),
+        output_root=str(out_root),
+    )
+    run_training(cfg, run_id="01012026_170000")
+
+    with open(os.path.join(
+        str(smd_like_root), "ServerMachineDataset", "processed",
+        "machine-1-1_test.pkl",
+    ), "rb") as f:
+        test_series = pickle.load(f)[:120]
+
+    from mtad_gat_tpu.cli import serve_cli
+
+    def serve(stream_rows, out_name, state=None, extra=()):
+        stream_csv = tmp_path / f"{out_name}.csv"
+        np.savetxt(stream_csv, stream_rows, delimiter=",")
+        out_jsonl = tmp_path / f"{out_name}.jsonl"
+        argv = [
+            "serve.py", "--dataset", "SMD", "--group", "1-1",
+            "--model_id", "01012026_170000",
+            "--data_root", str(smd_like_root),
+            "--output_root", str(out_root),
+            "--input", str(stream_csv), "--output", str(out_jsonl),
+            "--chunk", "16", "--threshold_method", "spot",
+            "--log_tensorboard", "False", *extra,
+        ]
+        if state:
+            argv += ["--state_file", state]
+        monkeypatch.setattr(sys, "argv", argv)
+        serve_cli.main()
+        return [json.loads(l) for l in out_jsonl.read_text().splitlines()]
+
+    want = serve(test_series, "uninterrupted",
+                 extra=("--emit_features", "3"))
+    assert all(len(r["top_features"]) == 3 for r in want)
+    # top_features are (index, score) sorted descending
+    for r in want[:5]:
+        scores = [s for _, s in r["top_features"]]
+        assert scores == sorted(scores, reverse=True)
+
+    state = str(tmp_path / "serve.state")
+    first = serve(test_series[:50], "part1", state=state)
+    assert os.path.exists(state)
+    second = serve(test_series[50:], "part2", state=state)
+
+    got = first + second
+    assert [r["t"] for r in got] == [r["t"] for r in want]
+    np.testing.assert_array_equal(
+        [r["score"] for r in got], [r["score"] for r in want]
+    )
+    np.testing.assert_array_equal(
+        [r["threshold"] for r in got], [r["threshold"] for r in want]
+    )
+    assert [r["is_anomaly"] for r in got] == [r["is_anomaly"] for r in want]

@@ -257,3 +257,69 @@ def test_fit_threshold_resets_ewm_state(model_and_params):
     raw_scores = np.array([r["score"] for r in raw.update_many(test)])
     want = pd.Series(raw_scores).ewm(span=span).mean().to_numpy()
     np.testing.assert_array_equal(got, want)
+
+
+def test_state_save_load_resumes_bit_identically(model_and_params, tmp_path):
+    """save_state/load_state mid-stream: the resumed scorer (fresh object,
+    state file round trip) continues bit-identically to the uninterrupted
+    one — ring buffer, pending forecast, EWM scalars, and streaming-POT
+    state all carry over."""
+    model, params = model_and_params
+    train, test, _ = synthetic_series(n_train=300, n_test=80, n_features=K)
+
+    def arm(s):
+        recs = s.update_many(train)
+        s.fit_threshold(
+            np.array([r["score"] for r in recs])[:250], method="spot"
+        )
+
+    base = OnlineScorer(model, params, W, K, smoothing_span=6)
+    arm(base)
+    want = base.update_many(test)
+
+    part = OnlineScorer(model, params, W, K, smoothing_span=6)
+    arm(part)
+    first = part.update_many(test[:37])
+    state_file = str(tmp_path / "scorer.state")
+    part.save_state(state_file)
+
+    resumed = OnlineScorer(model, params, W, K, smoothing_span=6)
+    resumed.load_state_file(state_file)
+    rest = resumed.update_many(test[37:])
+
+    got = first + rest
+    assert [r["t"] for r in got] == [r["t"] for r in want]
+    np.testing.assert_array_equal(
+        [r["score"] for r in got], [r["score"] for r in want]
+    )
+    np.testing.assert_array_equal(
+        [r["threshold"] for r in got], [r["threshold"] for r in want]
+    )
+    assert [r["is_anomaly"] for r in got] == [r["is_anomaly"] for r in want]
+
+    # guards: mismatched geometry / smoothing refuse to load
+    import pytest as _pytest
+
+    other = OnlineScorer(model, params, W, K)  # no smoothing
+    with _pytest.raises(ValueError, match="smoothing_span"):
+        other.load_state_file(state_file)
+
+
+def test_dspot_threshold_method(model_and_params):
+    """method='dspot': drift-aware streaming POT through the scorer —
+    thresholds track the drift-adjusted level, alarms fire on the injected
+    spike."""
+    model, params = model_and_params
+    rng = np.random.default_rng(9)
+    train, test, _ = synthetic_series(n_train=700, n_test=80, n_features=K)
+
+    s = OnlineScorer(model, params, W, K)
+    train_recs = s.update_many(train)
+    s.fit_threshold(
+        np.array([r["score"] for r in train_recs]), method="dspot",
+        q=1e-3, drift_depth=100,
+    )
+    recs = s.update_many(test)
+    assert all(np.isfinite(r["threshold"]) for r in recs)
+    # the drift-adjusted threshold is NOT constant (unlike epsilon)
+    assert len({round(r["threshold"], 9) for r in recs}) > 1

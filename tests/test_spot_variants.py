@@ -107,3 +107,34 @@ def test_bidspot_parity():
         np.asarray(r_theirs["lower_thresholds"]), rtol=1e-6,
     )
     assert r_ours["alarms"] == r_theirs["alarms"]
+
+
+def test_dspot_step_replays_run_exactly():
+    """dSPOT.step is the incrementalized body of dSPOT.run: alarms and
+    drift-adjusted thresholds identical point-for-point, including the
+    alarm-freezes-the-drift-window rule."""
+    from mtad_gat_tpu.inference.spot import dSPOT
+
+    rng = np.random.default_rng(7)
+    drift = np.cumsum(rng.normal(0, 0.05, 2300))
+    init = rng.gamma(2.0, 1.0, 2000) + drift[:2000]
+    stream = rng.gamma(2.0, 1.0, 300) + drift[2000:]
+    stream[150:160] += 12.0  # injected anomaly on top of the drift
+
+    batch = dSPOT(q=1e-3, depth=50)
+    batch.fit(init, stream)
+    batch.initialize()
+    want = batch.run(with_alarm=True)
+
+    inc = dSPOT(q=1e-3, depth=50)
+    inc.fit(init, np.empty(0))
+    inc.initialize()
+    got_alarms, got_th = [], []
+    for i, x in enumerate(stream):
+        if inc.step(float(x)):
+            got_alarms.append(i)
+        got_th.append(inc.last_threshold)
+
+    assert got_alarms == list(want["alarms"])
+    np.testing.assert_allclose(got_th, want["thresholds"], rtol=1e-12)
+    assert got_alarms  # the injected anomaly actually fired
