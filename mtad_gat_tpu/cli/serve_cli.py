@@ -187,6 +187,19 @@ def _stream_chunks(source, n_features: int, chunk: int,
 
 
 def main() -> None:
+    # A long-running server is stopped with SIGTERM (systemd, docker stop,
+    # plain `kill`): convert it into SystemExit so the finally-block below
+    # persists the streaming state before the process dies. (SIGKILL still
+    # loses at most the current chunk — state is also saved per chunk.)
+    import signal
+
+    try:
+        signal.signal(
+            signal.SIGTERM, lambda *_: (_ for _ in ()).throw(SystemExit(143))
+        )
+    except ValueError:
+        pass  # not the main thread (e.g. embedded use) — skip the handler
+
     parser = get_parser()
     parser.add_argument("--model_id", type=str, default="-1",
                         help="datetime run id, or -N for the N-th latest run")

@@ -508,3 +508,92 @@ def test_serve_cli_state_file_kill_and_resume(
         [r["threshold"] for r in got], [r["threshold"] for r in want]
     )
     assert [r["is_anomaly"] for r in got] == [r["is_anomaly"] for r in want]
+
+
+def test_serve_cli_sigterm_persists_state(smd_like_root, tmp_path):
+    """A real `kill <pid>` (SIGTERM) on a live serve.py process persists the
+    streaming state via the signal handler, and a resumed session continues
+    with the SAME record stream an uninterrupted run produces."""
+    import subprocess
+    import sys
+    import time as _time
+
+    out_root = tmp_path / "output"
+    cfg = RunConfig(
+        dataset="SMD", group="1-1", lookback=20, epochs=1, bs=32,
+        gru_hid_dim=16, fc_hid_dim=16, fc_n_layers=1, recon_hid_dim=16,
+        log_tensorboard=False, data_root=str(smd_like_root),
+        output_root=str(out_root),
+    )
+    run_training(cfg, run_id="01012026_180000")
+
+    with open(os.path.join(
+        str(smd_like_root), "ServerMachineDataset", "processed",
+        "machine-1-1_test.pkl",
+    ), "rb") as f:
+        test_series = pickle.load(f)[:80]
+
+    def rows_csv(rows):
+        return "\n".join(
+            ",".join(f"{v:.6f}" for v in r) for r in rows
+        ) + "\n"
+
+    base_args = [
+        sys.executable, "serve.py", "--dataset", "SMD", "--group", "1-1",
+        "--model_id", "01012026_180000",
+        "--data_root", str(smd_like_root), "--output_root", str(out_root),
+        "--chunk", "8", "--flush_ms", "200",
+        "--threshold_method", "epsilon", "--log_tensorboard", "False",
+    ]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    state = str(tmp_path / "sig.state")
+    out1 = str(tmp_path / "sig1.jsonl")
+
+    proc = subprocess.Popen(
+        base_args + ["--input", "-", "--output", out1,
+                     "--state_file", state],
+        stdin=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        cwd="/root/repo", text=True,
+    )
+    proc.stdin.write(rows_csv(test_series[:40]))
+    proc.stdin.flush()
+    # wait until the server has scored (and state-saved) the 40 points
+    deadline = _time.monotonic() + 120
+    while _time.monotonic() < deadline:
+        if os.path.exists(out1) and len(
+            open(out1).read().splitlines()
+        ) >= 40 and os.path.exists(state):
+            break
+        _time.sleep(0.5)
+    proc.terminate()  # SIGTERM, stdin still open: the handler must fire
+    rc = proc.wait(timeout=60)
+    assert rc == 143
+    assert os.path.exists(state)
+    records1 = [json.loads(l) for l in open(out1).read().splitlines()]
+    assert len(records1) == 40
+
+    # resume with the remaining rows
+    stream2 = tmp_path / "sig2.csv"
+    stream2.write_text(rows_csv(test_series[40:]))
+    out2 = str(tmp_path / "sig2.jsonl")
+    subprocess.run(
+        base_args + ["--input", str(stream2), "--output", out2,
+                     "--state_file", state],
+        check=True, env=env, cwd="/root/repo", capture_output=True,
+    )
+    records2 = [json.loads(l) for l in open(out2).read().splitlines()]
+
+    # uninterrupted oracle
+    out3 = str(tmp_path / "sig3.jsonl")
+    stream3 = tmp_path / "sig3.csv"
+    stream3.write_text(rows_csv(test_series))
+    subprocess.run(
+        base_args + ["--input", str(stream3), "--output", out3],
+        check=True, env=env, cwd="/root/repo", capture_output=True,
+    )
+    want = [json.loads(l) for l in open(out3).read().splitlines()]
+    got = records1 + records2
+    assert [r["t"] for r in got] == [r["t"] for r in want]
+    np.testing.assert_array_equal(
+        [r["score"] for r in got], [r["score"] for r in want]
+    )
