@@ -185,7 +185,7 @@ def main() -> None:
     try:
         from bench_long import bench_config
 
-        r = bench_config(8192, 256, 8, 2, epochs=1)
+        r = bench_config(8192, 256, 8, 4, epochs=2)
         long_row = {
             "lookback": r["lookback"], "band": r["band"],
             "windows_per_sec": r["value"],
