@@ -94,6 +94,11 @@ def module_of(short: str, full: str) -> str:
     if short.startswith("while"):
         # the outermost while is the epoch scan; inner whiles are GRU scans
         return "scan-loop overhead"
+    if "multiply_add_fusion" in short:
+        # adam-update fusions are uniquely named; classify BEFORE the shape
+        # rules or param-shaped updates (e.g. (150,100), (*,150)) would be
+        # misattributed to model modules
+        return "adam update"
     if "dynamic-slice" in short or "dynamic-update" in short:
         return "gru scan body (slices)"
     if dims and dims[-1] == "150":
@@ -103,10 +108,8 @@ def module_of(short: str, full: str) -> str:
         return "temporal GAT"
     if tail2 in ("38,38", "38,200") or sh in ("200", "38,38"):
         return "feature GAT"
-    if dims and dims[-1] == "450" and "multiply_add" not in short:
+    if dims and dims[-1] == "450":
         return "gru input proj / grads"
-    if "multiply_add_fusion" in short:
-        return "adam update"
     if dims and len(dims) == 2 and int(dims[0] or 0) > 10000:
         return "window gather"
     return "other"

@@ -28,9 +28,14 @@ Production extensions (r5): ``--state_file`` persists the full streaming
 state (ring buffer, EWM scalars, SPOT/dSPOT threshold state, position)
 atomically after every chunk and on exit, and resumes from it on start — a
 killed server continues exactly where it left off (tested kill-and-resume
-bit-identical); ``--threshold_method dspot`` arms drift-aware streaming POT
-(subtract a ``--drift_depth`` moving average before thresholding);
-``--emit_features K`` adds the top-K per-feature anomaly scores to each
+bit-identical). SIGTERM is masked across each score->write->save section so
+a mid-chunk signal can never persist a torn state; on resume the SAME
+``--output`` path is appended to, never truncated, and a CLI
+``--threshold_method`` differing from the persisted one warns (the state's
+method stays active). ``--threshold_method dspot`` arms drift-aware
+streaming POT (subtract a ``--drift_depth`` moving average before
+thresholding); ``--emit_features K`` adds the top-K per-feature anomaly
+scores (original CSV column indices, mapped through target_dims) to each
 record for incident triage.
 
 Usage::
@@ -318,12 +323,22 @@ def main() -> None:
     def bucket_for(n: int) -> int:
         return next(b for b in buckets if b >= n)
 
-    if args.state_file and os.path.exists(args.state_file):
+    resumed = bool(args.state_file and os.path.exists(args.state_file))
+    if resumed:
         # crash/restart resume: ring buffer + EWM + threshold/SPOT state +
         # position restored exactly; no re-priming, no re-calibration
         scorer.load_state_file(args.state_file)
+        if scorer._threshold_method != args.threshold_method:
+            print(
+                f"serve: WARNING — resumed state carries threshold_method="
+                f"{scorer._threshold_method!r}, which stays active; the "
+                f"requested --threshold_method {args.threshold_method!r} is "
+                f"ignored (delete {args.state_file} to re-calibrate).",
+                file=sys.stderr,
+            )
         print(f"Serving: resumed streaming state from {args.state_file} "
-              f"(t={scorer._seen}); chunk={chunk}", file=sys.stderr)
+              f"(t={scorer._seen}, threshold={scorer._threshold_method}); "
+              f"chunk={chunk}", file=sys.stderr)
     else:
         train_scores = _train_scores(
             model_path, trainer, x_train, cfg, n_features, target_dims
@@ -356,38 +371,64 @@ def main() -> None:
               f"points; chunk={chunk}, threshold={args.threshold_method}",
               file=sys.stderr)
 
-    sink = sys.stdout if args.output == "-" else open(args.output, "w")
+    # resuming with the same --output must APPEND: truncating would destroy
+    # every record emitted before the crash while the scorer resumes past
+    # them (they could never be regenerated)
+    sink = (
+        sys.stdout if args.output == "-"
+        else open(args.output, "a" if resumed else "w")
+    )
+    # feature indices for --emit_features: a_score is in target-dims space
+    # (MSL/SMAP score only their telemetry channel) — map back to the
+    # stream's CSV column indices for triage
+    feat_index = (
+        list(range(n_features)) if target_dims is None else list(target_dims)
+    )
     n_pts = n_alarms = 0
+    state_dirty = False
     try:
         for batch in _stream_chunks(args.input, n_features, chunk,
                                     flush_ms=args.flush_ms,
                                     bad_line=args.bad_line):
-            if scaler is not None:
-                batch = np.nan_to_num(
-                    np.asarray(batch, np.float32)
+            # Block SIGTERM across score->write->save: an exception at an
+            # arbitrary point inside would persist a TORN state (ring
+            # buffer advanced, EWM/SPOT partially applied) or drop scored
+            # records. The pending signal fires at the unblock — between
+            # chunks, where the state is consistent by construction.
+            signal.pthread_sigmask(signal.SIG_BLOCK, {signal.SIGTERM})
+            try:
+                if scaler is not None:
+                    batch = np.nan_to_num(np.asarray(batch, np.float32))
+                    batch = scaler.transform(batch)
+                for rec in scorer.update_many(
+                    batch, pad_to=bucket_for(len(batch))
+                ):
+                    n_pts += 1
+                    n_alarms += bool(rec.get("is_anomaly"))
+                    out = {
+                        "t": int(rec["t"]),
+                        "score": float(rec["score"]),
+                        "threshold": float(rec["threshold"]),
+                        "is_anomaly": bool(rec["is_anomaly"]),
+                    }
+                    if args.emit_features > 0:
+                        a = np.asarray(rec["a_score"])
+                        top = np.argsort(a)[::-1][: args.emit_features]
+                        out["top_features"] = [
+                            [feat_index[int(i)], float(a[i])] for i in top
+                        ]
+                    sink.write(json.dumps(out) + "\n")
+                sink.flush()
+                state_dirty = True
+                if args.state_file:
+                    scorer.save_state(args.state_file)
+                    state_dirty = False
+            finally:
+                signal.pthread_sigmask(
+                    signal.SIG_UNBLOCK, {signal.SIGTERM}
                 )
-                batch = scaler.transform(batch)
-            for rec in scorer.update_many(batch, pad_to=bucket_for(len(batch))):
-                n_pts += 1
-                n_alarms += bool(rec.get("is_anomaly"))
-                out = {
-                    "t": int(rec["t"]),
-                    "score": float(rec["score"]),
-                    "threshold": float(rec["threshold"]),
-                    "is_anomaly": bool(rec["is_anomaly"]),
-                }
-                if args.emit_features > 0:
-                    a = np.asarray(rec["a_score"])
-                    top = np.argsort(a)[::-1][: args.emit_features]
-                    out["top_features"] = [
-                        [int(i), float(a[i])] for i in top
-                    ]
-                sink.write(json.dumps(out) + "\n")
-            sink.flush()
-            if args.state_file:
-                scorer.save_state(args.state_file)
     finally:
-        if args.state_file:
+        if args.state_file and state_dirty:
             scorer.save_state(args.state_file)
         if sink is not sys.stdout:
             sink.close()

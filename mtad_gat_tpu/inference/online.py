@@ -253,7 +253,25 @@ class OnlineScorer:
         position, EWM scalars, and the armed threshold (epsilon value or
         the SPOT/dSPOT object). With this, a serving process can be killed
         and resumed exactly where it left off (``serve.py --state_file``)
-        instead of re-priming from the train tail and re-calibrating."""
+        instead of re-priming from the train tail and re-calibrating.
+
+        The SPOT/dSPOT object is stripped of its run-immutable calibration
+        arrays (``init_data``/``data`` — the full train-score series) before
+        pickling: state is saved per CHUNK on the serving hot path, and only
+        peaks/counters/the drift window actually change per point."""
+        spot = self._spot
+        if spot is not None:
+            import copy
+
+            spot = copy.copy(spot)
+            if getattr(spot, "depth", None) is not None and not hasattr(spot, "_W"):
+                # dSPOT seeds its drift window lazily from init_data on the
+                # first step — materialize it before dropping init_data
+                spot._W = np.asarray(
+                    spot.init_data[-spot.depth:], dtype=np.float64
+                ).copy()
+            spot.init_data = None
+            spot.data = None
         return {
             "window": self.window,
             "n_features": self.n_features,
@@ -265,7 +283,7 @@ class OnlineScorer:
             "smoothing_span": self.smoothing_span,
             "threshold_method": self._threshold_method,
             "epsilon": self._epsilon,
-            "spot": self._spot,
+            "spot": spot,
         }
 
     def load_state(self, state: Dict) -> None:

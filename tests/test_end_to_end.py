@@ -467,10 +467,10 @@ def test_serve_cli_state_file_kill_and_resume(
 
     from mtad_gat_tpu.cli import serve_cli
 
-    def serve(stream_rows, out_name, state=None, extra=()):
+    def serve(stream_rows, out_name, state=None, extra=(), out_file=None):
         stream_csv = tmp_path / f"{out_name}.csv"
         np.savetxt(stream_csv, stream_rows, delimiter=",")
-        out_jsonl = tmp_path / f"{out_name}.jsonl"
+        out_jsonl = tmp_path / (out_file or f"{out_name}.jsonl")
         argv = [
             "serve.py", "--dataset", "SMD", "--group", "1-1",
             "--model_id", "01012026_170000",
@@ -495,11 +495,18 @@ def test_serve_cli_state_file_kill_and_resume(
         assert scores == sorted(scores, reverse=True)
 
     state = str(tmp_path / "serve.state")
-    first = serve(test_series[:50], "part1", state=state)
+    # both sessions share ONE output file: the resumed session must APPEND
+    # (truncation would destroy the pre-crash records, which the scorer has
+    # resumed past and can never regenerate)
+    first = serve(test_series[:50], "part1", state=state,
+                  out_file="shared.jsonl")
     assert os.path.exists(state)
-    second = serve(test_series[50:], "part2", state=state)
-
-    got = first + second
+    serve(test_series[50:], "part2", state=state, out_file="shared.jsonl")
+    got = [
+        json.loads(l)
+        for l in (tmp_path / "shared.jsonl").read_text().splitlines()
+    ]
+    assert len(first) == 50
     assert [r["t"] for r in got] == [r["t"] for r in want]
     np.testing.assert_array_equal(
         [r["score"] for r in got], [r["score"] for r in want]
