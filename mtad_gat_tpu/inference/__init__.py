@@ -10,6 +10,7 @@ from mtad_gat_tpu.inference.eval_methods import (
 from mtad_gat_tpu.inference.spot import SPOT, dSPOT, biSPOT, bidSPOT
 from mtad_gat_tpu.inference.predictor import Predictor
 from mtad_gat_tpu.inference.online import OnlineScorer
+from mtad_gat_tpu.inference.online_fleet import OnlineFleetScorer
 
 __all__ = [
     "adjust_predicts",
@@ -25,4 +26,5 @@ __all__ = [
     "bidSPOT",
     "Predictor",
     "OnlineScorer",
+    "OnlineFleetScorer",
 ]

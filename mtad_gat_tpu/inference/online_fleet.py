@@ -1,0 +1,255 @@
+"""Fleet serving: stream-score E entities per dispatch via ``jax.vmap``.
+
+The TPU-native completion of the serving story: ``sweep.py --batched``
+trains a whole SMD fleet as one vmapped step (``training/multi_entity.py``,
+stacked ``(E, ...)`` param tree); this module SERVES that fleet the same
+way — one jitted dispatch advances every entity's ring buffer and scores
+every entity's newest points. At flagship scale that is 28 machines per
+chip sharing one compiled program, instead of 28 server processes each
+paying their own dispatch and attach latency.
+
+No reference counterpart: the reference has neither serving nor
+multi-entity execution (single offline script per entity).
+
+Records are per-entity and match E independent :class:`OnlineScorer`
+instances on the same inputs (tested) — vmap changes the batching, not the
+math. Thresholding state (epsilon / streaming SPOT / drift-aware dSPOT)
+and the EWM smoother are host-side per entity, exactly as in the
+single-entity scorer, so all threshold methods compose with fleet serving.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtad_gat_tpu.inference.online import OnlineScorer
+from mtad_gat_tpu.models import MTADGAT
+
+
+class OnlineFleetScorer:
+    """Streaming scorer over a TRAINED FLEET (stacked params, one model).
+
+    Usage::
+
+        fleet = OnlineFleetScorer(model, stacked_params, n_entities=E,
+                                  window_size=100, n_features=38)
+        for e, scores in enumerate(train_scores_per_entity):
+            fleet.fit_threshold(e, scores, method="spot")
+        records = fleet.update_many(xs)     # xs: (E, T, k)
+        # records[e] == the records OnlineScorer would produce for entity e
+
+    ``stacked_params`` is a pytree whose leaves carry a leading entity axis
+    (``MultiEntityTrainer.params``, or ``jax.tree.map(lambda *a:
+    jnp.stack(a), *per_entity_params)``).
+    """
+
+    def __init__(
+        self,
+        model: MTADGAT,
+        stacked_params: dict,
+        n_entities: int,
+        window_size: int,
+        n_features: int,
+        target_dims: Optional[Sequence[int]] = None,
+        gamma: float = 1.0,
+        smoothing_span: Optional[int] = None,
+    ):
+        self.model = model
+        self.params = stacked_params
+        self.n_entities = n_entities
+        self.window = window_size
+        self.n_features = n_features
+        self.target_dims = None if target_dims is None else list(target_dims)
+        self.out_dim = (
+            n_features if self.target_dims is None else len(self.target_dims)
+        )
+
+        # one host-side scorer per entity carries the threshold/EWM state
+        # and the record bookkeeping; the DEVICE work all happens here in
+        # the vmapped scan (the per-entity scorers' jitted steps are unused)
+        self._entities: List[OnlineScorer] = [
+            OnlineScorer(
+                model, None, window_size, n_features,
+                target_dims=target_dims, gamma=gamma,
+                smoothing_span=smoothing_span,
+            )
+            for _ in range(n_entities)
+        ]
+
+        self._buffers = jnp.zeros(
+            (n_entities, window_size, n_features), jnp.float32
+        )
+        self._pendings = jnp.zeros((n_entities, self.out_dim), jnp.float32)
+        self._seen = 0
+
+        model_apply = model.apply
+        dims = None if self.target_dims is None else jnp.asarray(self.target_dims)
+        gamma_c = float(gamma)
+
+        def one_point(params, buffer, pending, x):
+            # identical math to OnlineScorer.one_point (online.py) — kept in
+            # lockstep by the fleet-vs-solo parity test
+            buffer = jnp.concatenate([buffer[1:], x[None, :]], axis=0)
+            preds, recons = model_apply(
+                {"params": params}, buffer[None], deterministic=True
+            )
+            recon = recons[0, -1, :]
+            actual = x if dims is None else x[dims]
+            a_score = (
+                jnp.sqrt((pending - actual) ** 2)
+                + gamma_c * jnp.sqrt((recon - actual) ** 2)
+            )
+            return buffer, preds[0], (pending, recon, a_score, a_score.mean())
+
+        entity_point = jax.vmap(one_point)  # over (params, buf, pend, x)
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def step_chunk(params, buffers, pendings, xs, n_valid):
+            # xs: (T, E, k) — scan over time, vmap over entities; pad rows
+            # masked out of the carry exactly as in the single-entity path
+            def body(carry, inp):
+                i, x = inp
+                bufs, pends = carry
+                new_bufs, forecasts, outs = entity_point(
+                    params, bufs, pends, x
+                )
+                valid = i < n_valid
+                bufs = jnp.where(valid, new_bufs, bufs)
+                forecasts = jnp.where(valid, forecasts, pends)
+                return (bufs, forecasts), outs
+
+            idx = jnp.arange(xs.shape[0])
+            (buffers, pendings), outs = jax.lax.scan(
+                body, (buffers, pendings), (idx, xs)
+            )
+            return buffers, pendings, outs
+
+        self._step_chunk = step_chunk
+
+    # ------------------------------------------------------------------
+    def fit_threshold(self, entity: int, train_scores, **kw) -> None:
+        """Arm entity ``entity``'s alarm (same signature/semantics as
+        :meth:`OnlineScorer.fit_threshold`)."""
+        self._entities[entity].fit_threshold(train_scores, **kw)
+
+    def update_many(
+        self, xs: np.ndarray, pad_to: Optional[int] = None
+    ) -> List[List[Dict]]:
+        """Feed a chunk of observations ``(E, T, k)`` — T new points for
+        EVERY entity — through one vmapped ``lax.scan`` dispatch. Returns
+        per-entity record lists, each identical to what that entity's
+        standalone :class:`OnlineScorer` would produce (tested)."""
+        xs = np.asarray(xs, np.float32)
+        if xs.shape[0] != self.n_entities or xs.ndim != 3:
+            raise ValueError(
+                f"xs must be (n_entities={self.n_entities}, T, "
+                f"{self.n_features}), got {xs.shape}"
+            )
+        n = xs.shape[1]
+        if n == 0:
+            return [[] for _ in range(self.n_entities)]
+        if pad_to is not None:
+            if n > pad_to:
+                raise ValueError(f"chunk of {n} rows exceeds pad_to={pad_to}")
+            if n < pad_to:
+                xs = np.concatenate([
+                    xs,
+                    np.zeros(
+                        (self.n_entities, pad_to - n, self.n_features),
+                        np.float32,
+                    ),
+                ], axis=1)
+        start_seen = self._seen
+        xs_t = jnp.asarray(np.swapaxes(xs, 0, 1))  # (T, E, k)
+        self._buffers, self._pendings, outs = self._step_chunk(
+            self.params, self._buffers, self._pendings, xs_t,
+            n,
+        )
+        self._seen += n
+        pendings, recons, a_scores, global_scores = jax.device_get(outs)
+        # outs time-major: (T, E, ...)
+
+        all_records: List[List[Dict]] = []
+        for e in range(self.n_entities):
+            ent = self._entities[e]
+            ent._seen = start_seen  # keep host bookkeeping in lockstep
+            records = []
+            for i in range(n):
+                t = start_seen + i
+                ent._seen = t + 1
+                if t < self.window:
+                    continue
+                record = {
+                    "t": t,
+                    "entity": e,
+                    "forecast": pendings[i, e],
+                    "recon": recons[i, e],
+                    "a_score": a_scores[i, e],
+                    "score": float(global_scores[i, e]),
+                }
+                ent._finalize(record)
+                records.append(record)
+            all_records.append(records)
+        return all_records
+
+    # ------------------------------------------------------------------
+    def state_dict(self) -> Dict:
+        """Fleet streaming state (device buffers + every entity's host-side
+        threshold/EWM state) — the fleet analog of
+        :meth:`OnlineScorer.state_dict`."""
+        return {
+            "n_entities": self.n_entities,
+            "window": self.window,
+            "n_features": self.n_features,
+            "buffers": np.asarray(self._buffers),
+            "pendings": np.asarray(self._pendings),
+            "seen": self._seen,
+            "entities": [
+                {
+                    k: v
+                    for k, v in ent.state_dict().items()
+                    if k not in ("buffer", "pending", "seen")
+                }
+                for ent in self._entities
+            ],
+        }
+
+    def load_state(self, state: Dict) -> None:
+        if (
+            state["n_entities"], state["window"], state["n_features"]
+        ) != (self.n_entities, self.window, self.n_features):
+            raise ValueError(
+                "fleet state geometry mismatch: "
+                f"{(state['n_entities'], state['window'], state['n_features'])}"
+                f" vs {(self.n_entities, self.window, self.n_features)}"
+            )
+        self._buffers = jnp.asarray(state["buffers"], jnp.float32)
+        self._pendings = jnp.asarray(state["pendings"], jnp.float32)
+        self._seen = int(state["seen"])
+        for ent, es in zip(self._entities, state["entities"]):
+            ent._ewm_avg = es["ewm_avg"]
+            ent._ewm_old_wt = es["ewm_old_wt"]
+            ent._threshold_method = es["threshold_method"]
+            ent._epsilon = es["epsilon"]
+            ent._spot = es["spot"]
+            ent._seen = self._seen
+
+    def save_state(self, path: str) -> None:
+        import os
+        import pickle
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(self.state_dict(), f)
+        os.replace(tmp, path)
+
+    def load_state_file(self, path: str) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            self.load_state(pickle.load(f))
