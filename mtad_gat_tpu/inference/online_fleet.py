@@ -85,7 +85,6 @@ class OnlineFleetScorer:
             (n_entities, window_size, n_features), jnp.float32
         )
         self._pendings = jnp.zeros((n_entities, self.out_dim), jnp.float32)
-        self._seen = 0
 
         model_apply = model.apply
         dims = None if self.target_dims is None else jnp.asarray(self.target_dims)
@@ -110,17 +109,20 @@ class OnlineFleetScorer:
 
         @partial(jax.jit, donate_argnums=(1, 2))
         def step_chunk(params, buffers, pendings, xs, n_valid):
-            # xs: (T, E, k) — scan over time, vmap over entities; pad rows
-            # masked out of the carry exactly as in the single-entity path
+            # xs: (T, E, k) — scan over time, vmap over entities. n_valid is
+            # a PER-ENTITY (E,) count: entities advance only through their
+            # own valid rows, so UNALIGNED streams (machines emitting at
+            # different rates) serve in one dispatch — pad each entity's
+            # stream to the common T and mask the rest out of its carry.
             def body(carry, inp):
                 i, x = inp
                 bufs, pends = carry
                 new_bufs, forecasts, outs = entity_point(
                     params, bufs, pends, x
                 )
-                valid = i < n_valid
-                bufs = jnp.where(valid, new_bufs, bufs)
-                forecasts = jnp.where(valid, forecasts, pends)
+                valid = i < n_valid                       # (E,)
+                bufs = jnp.where(valid[:, None, None], new_bufs, bufs)
+                forecasts = jnp.where(valid[:, None], forecasts, pends)
                 return (bufs, forecasts), outs
 
             idx = jnp.arange(xs.shape[0])
@@ -140,8 +142,8 @@ class OnlineFleetScorer:
     def update_many(
         self, xs: np.ndarray, pad_to: Optional[int] = None
     ) -> List[List[Dict]]:
-        """Feed a chunk of observations ``(E, T, k)`` — T new points for
-        EVERY entity — through one vmapped ``lax.scan`` dispatch. Returns
+        """Feed an ALIGNED chunk ``(E, T, k)`` — T new points for every
+        entity — through one vmapped ``lax.scan`` dispatch. Returns
         per-entity record lists, each identical to what that entity's
         standalone :class:`OnlineScorer` would produce (tested)."""
         xs = np.asarray(xs, np.float32)
@@ -150,37 +152,51 @@ class OnlineFleetScorer:
                 f"xs must be (n_entities={self.n_entities}, T, "
                 f"{self.n_features}), got {xs.shape}"
             )
-        n = xs.shape[1]
-        if n == 0:
+        return self.update_ragged(list(xs), pad_to=pad_to)
+
+    def update_ragged(
+        self, xs_list: List[np.ndarray], pad_to: Optional[int] = None
+    ) -> List[List[Dict]]:
+        """Feed a RAGGED chunk: ``xs_list[e]`` is ``(T_e, k)`` — each
+        entity brings however many points arrived on ITS stream (possibly
+        zero). All entities advance together in one dispatch; pad rows are
+        masked out of each entity's carry, so results equal feeding each
+        entity's stream to its own scorer (tested). ``pad_to`` pins the
+        compiled scan length as in :meth:`OnlineScorer.update_many`."""
+        if len(xs_list) != self.n_entities:
+            raise ValueError(
+                f"need {self.n_entities} streams, got {len(xs_list)}"
+            )
+        xs_list = [
+            np.asarray(x, np.float32).reshape(-1, self.n_features)
+            for x in xs_list
+        ]
+        counts = np.array([x.shape[0] for x in xs_list], np.int32)
+        T = int(counts.max(initial=0))
+        if T == 0:
             return [[] for _ in range(self.n_entities)]
         if pad_to is not None:
-            if n > pad_to:
-                raise ValueError(f"chunk of {n} rows exceeds pad_to={pad_to}")
-            if n < pad_to:
-                xs = np.concatenate([
-                    xs,
-                    np.zeros(
-                        (self.n_entities, pad_to - n, self.n_features),
-                        np.float32,
-                    ),
-                ], axis=1)
-        start_seen = self._seen
+            if T > pad_to:
+                raise ValueError(f"chunk of {T} rows exceeds pad_to={pad_to}")
+            T = pad_to
+        xs = np.zeros((self.n_entities, T, self.n_features), np.float32)
+        for e, x in enumerate(xs_list):
+            xs[e, : x.shape[0]] = x
+        start_seen = [ent._seen for ent in self._entities]
         xs_t = jnp.asarray(np.swapaxes(xs, 0, 1))  # (T, E, k)
         self._buffers, self._pendings, outs = self._step_chunk(
             self.params, self._buffers, self._pendings, xs_t,
-            n,
+            jnp.asarray(counts),
         )
-        self._seen += n
         pendings, recons, a_scores, global_scores = jax.device_get(outs)
         # outs time-major: (T, E, ...)
 
         all_records: List[List[Dict]] = []
         for e in range(self.n_entities):
             ent = self._entities[e]
-            ent._seen = start_seen  # keep host bookkeeping in lockstep
             records = []
-            for i in range(n):
-                t = start_seen + i
+            for i in range(int(counts[e])):
+                t = start_seen[e] + i
                 ent._seen = t + 1
                 if t < self.window:
                     continue
@@ -208,7 +224,7 @@ class OnlineFleetScorer:
             "n_features": self.n_features,
             "buffers": np.asarray(self._buffers),
             "pendings": np.asarray(self._pendings),
-            "seen": self._seen,
+            "seen": [ent._seen for ent in self._entities],
             "entities": [
                 {
                     k: v
@@ -230,14 +246,15 @@ class OnlineFleetScorer:
             )
         self._buffers = jnp.asarray(state["buffers"], jnp.float32)
         self._pendings = jnp.asarray(state["pendings"], jnp.float32)
-        self._seen = int(state["seen"])
-        for ent, es in zip(self._entities, state["entities"]):
+        seen = state["seen"]
+        seen = seen if isinstance(seen, (list, tuple)) else [seen] * self.n_entities
+        for ent, es, sn in zip(self._entities, state["entities"], seen):
             ent._ewm_avg = es["ewm_avg"]
             ent._ewm_old_wt = es["ewm_old_wt"]
             ent._threshold_method = es["threshold_method"]
             ent._epsilon = es["epsilon"]
             ent._spot = es["spot"]
-            ent._seen = self._seen
+            ent._seen = int(sn)
 
     def save_state(self, path: str) -> None:
         import os

@@ -130,3 +130,38 @@ def test_fleet_state_resume(fleet, tmp_path):
         np.testing.assert_array_equal(
             [r["score"] for r in got], [r["score"] for r in want[e]]
         )
+
+
+def test_fleet_ragged_streams_match_solo(fleet):
+    """update_ragged: entities bring DIFFERENT numbers of points per
+    dispatch (incl. zero) — each entity's records equal its own standalone
+    scorer fed the same stream, and per-entity positions stay independent."""
+    model, per_entity, stacked = fleet
+    rng = np.random.default_rng(4)
+    streams = [
+        rng.standard_normal((n, K)).astype(np.float32)
+        for n in (70, 45, 58)
+    ]
+
+    fs = OnlineFleetScorer(model, stacked, E, W, K)
+    cursors = [0] * E
+    got = [[] for _ in range(E)]
+    step_sizes = [(7, 3, 0), (0, 9, 12), (11, 6, 5), (70, 45, 58)]
+    for sizes in step_sizes:
+        chunk = []
+        for e in range(E):
+            take = min(sizes[e], len(streams[e]) - cursors[e])
+            chunk.append(streams[e][cursors[e]:cursors[e] + take])
+            cursors[e] += take
+        recs = fs.update_ragged(chunk, pad_to=70)
+        for e in range(E):
+            got[e].extend(recs[e])
+
+    for e in range(E):
+        solo = OnlineScorer(model, per_entity[e], W, K)
+        want = solo.update_many(streams[e][:cursors[e]])
+        assert [r["t"] for r in got[e]] == [r["t"] for r in want]
+        np.testing.assert_allclose(
+            [r["score"] for r in got[e]], [r["score"] for r in want],
+            rtol=1e-5, atol=1e-6,
+        )
