@@ -38,11 +38,21 @@ thresholding); ``--emit_features K`` adds the top-K per-feature anomaly
 scores (original CSV column indices, mapped through target_dims) to each
 record for incident triage.
 
+Fleet mode: ``--group 1-1,1-2,...`` with one ``--input`` CSV per group
+serves EVERY machine from one process through one vmapped dispatch
+(OnlineFleetScorer) — streams are multiplexed with select and may be
+UNALIGNED (each dispatch carries whatever each stream brought); per-entity
+scalers, thresholds, positions, and the fleet state file all compose, and
+records carry a ``group`` field. Records match per-machine solo servers
+exactly (tested).
+
 Usage::
 
     python serve.py --dataset SMD --group 1-1 --model_id -1 \
         --input stream.csv --threshold_method epsilon
     tail -f live.csv | python serve.py --dataset SMD --group 1-1 --input -
+    python serve.py --dataset SMD --group 1-1,1-2 \
+        --input m11.csv,m12.csv --state_file fleet.state
 """
 
 from __future__ import annotations
@@ -191,6 +201,231 @@ def _stream_chunks(source, n_features: int, chunk: int,
             fh.close()
 
 
+def _stream_chunks_multi(sources, n_features: int, chunk: int,
+                         flush_ms: float = 1000.0, bad_line: str = "skip"):
+    """Multiplex E CSV streams (one file per entity) into RAGGED chunks:
+    yields a list of (T_e, n_features) arrays whenever any stream fills
+    ``chunk`` rows or ``flush_ms`` elapses after the first buffered row
+    anywhere — one fleet dispatch then serves whatever every entity
+    brought (possibly nothing). Select runs over all fds at once; each
+    stream keeps its own byte buffer, row buffer, and line counter. A
+    stream at EOF simply stops contributing; the generator ends when all
+    streams are dry."""
+    import select
+
+    fhs = [open(src) for src in sources]
+    fds = [fh.fileno() for fh in fhs]
+    bufs = [b"" for _ in fhs]
+    rows = [[] for _ in fhs]
+    lineno = [0 for _ in fhs]
+    eof = [False for _ in fhs]
+    deadline = None
+    use_select = flush_ms is not None and flush_ms > 0
+
+    def drain(i):
+        emitted = False
+        while b"\n" in bufs[i]:
+            raw, bufs[i] = bufs[i].split(b"\n", 1)
+            lineno[i] += 1
+            line = raw.decode(errors="replace").strip()
+            if not line:
+                continue
+            vals = _parse_row(
+                f"{line}", n_features, bad_line, lineno[i]
+            )
+            if vals is None:
+                continue
+            rows[i].append(vals)
+            emitted = True
+        return emitted
+
+    def flush():
+        # at most `chunk` rows per stream per dispatch (a burst read can
+        # deliver a whole file at once); the remainder stays buffered and
+        # the while-loop yields again immediately
+        nonlocal deadline
+        out = [
+            np.stack(r[:chunk]) if r
+            else np.zeros((0, n_features), np.float32)
+            for r in rows
+        ]
+        for r in rows:
+            del r[:chunk]
+        deadline = None
+        return out
+
+    try:
+        while True:
+            if any(len(r) >= chunk for r in rows):
+                yield flush()
+                continue
+            live = [fd for fd, e in zip(fds, eof) if not e]
+            if not live:
+                while any(rows):      # flush() caps at `chunk` per stream
+                    yield flush()
+                break
+            timeout = None
+            if use_select and any(rows):
+                if deadline is None:
+                    deadline = time.monotonic() + flush_ms / 1000.0
+                timeout = max(0.0, deadline - time.monotonic())
+            ready, _, _ = select.select(live, [], [], timeout)
+            if not ready:
+                yield flush()
+                continue
+            for fd in ready:
+                i = fds.index(fd)
+                data = os.read(fd, 1 << 16)
+                if not data:
+                    eof[i] = True
+                    if bufs[i].strip():
+                        bufs[i] += b"\n"  # terminate a final ragged line
+                else:
+                    bufs[i] += data
+                drain(i)
+    finally:
+        for fh in fhs:
+            fh.close()
+
+
+def _fleet_main(args) -> None:
+    """Fleet serving: one process streams EVERY group's machine through one
+    vmapped dispatch (``--group 1-1,1-2,...`` + matching comma-separated
+    ``--input`` files). Each entity keeps its own scaler, threshold
+    calibration, stream position, and flush buffer; chunks are RAGGED —
+    machines emit at different rates and each dispatch carries whatever
+    each stream brought (OnlineFleetScorer.update_ragged)."""
+    import signal
+
+    import jax
+    import jax.numpy as jnp
+
+    groups = args.group.split(",")
+    sources = args.input.split(",")
+    if len(sources) != len(groups):
+        raise SystemExit(
+            f"--input must list one CSV per group ({len(groups)} groups, "
+            f"{len(sources)} inputs)"
+        )
+    if args.dataset != "SMD":
+        raise SystemExit("fleet serving is per-machine: --dataset SMD only")
+
+    from mtad_gat_tpu.data.loading import normalize_data
+    from mtad_gat_tpu.inference import OnlineFleetScorer
+    from mtad_gat_tpu.training import Trainer
+
+    E = len(groups)
+    per_params, scalers, thresholds, model = [], [], [], None
+    cfg0 = None
+    for g in groups:
+        output_path = os.path.join(args.output_root, "SMD", g)
+        model_path = resolve_model_dir(output_path, args.model_id)
+        cfg = RunConfig.load(os.path.join(model_path, "config.txt"))
+        if cfg0 is None:
+            cfg0 = cfg
+        entity = f"machine-{g[0]}-{g[2:]}"
+        (x_train, _), _ = get_data(
+            entity, data_root=args.data_root, normalize=cfg.normalize
+        )
+        scaler = None
+        if cfg.normalize:
+            (raw_train, _), _ = get_data(
+                entity, data_root=args.data_root, normalize=False
+            )
+            _, scaler = normalize_data(raw_train)
+        n_features = x_train.shape[1]
+        trainer = Trainer(
+            cfg.model_config(n_features, n_features), cfg.train_config(),
+            save_path=model_path, log_dir=os.path.join(model_path, "logs"),
+        )
+        trainer.load(os.path.join(model_path, "model.msgpack"))
+        if model is None:
+            model = trainer.model
+        per_params.append(trainer.state.params)
+        scalers.append(scaler)
+        scores = _train_scores(
+            model_path, trainer, x_train, cfg, n_features, None
+        )
+        level, q, reg_level = lookup_pot_params("SMD", g, cfg.level, cfg.q)
+        thresholds.append(dict(
+            train_scores=scores, method=args.threshold_method,
+            reg_level=reg_level, q=q, level=level,
+            drift_depth=args.drift_depth,
+        ))
+        tails = x_train[-cfg.lookback:]
+        per_params[-1] = (per_params[-1], tails)  # carry tail alongside
+
+    stacked = jax.tree.map(
+        lambda *a: jnp.stack(a), *[p for p, _ in per_params]
+    )
+    tails = [t for _, t in per_params]
+    n_features = tails[0].shape[1]
+    fleet = OnlineFleetScorer(
+        model, stacked, E, cfg0.lookback, n_features, gamma=cfg0.gamma
+    )
+    chunk = max(1, args.chunk)
+    resumed = bool(args.state_file and os.path.exists(args.state_file))
+    if resumed:
+        fleet.load_state_file(args.state_file)
+        print(f"Fleet serving: resumed {E} entities from {args.state_file}",
+              file=sys.stderr)
+    else:
+        for e, th in enumerate(thresholds):
+            fleet.fit_threshold(e, th.pop("train_scores"), **th)
+        fleet.update_many(np.stack(tails), pad_to=None)  # prime all windows
+        print(f"Fleet serving: {E} entities primed; chunk={chunk}, "
+              f"threshold={args.threshold_method}", file=sys.stderr)
+
+    sink = (
+        sys.stdout if args.output == "-"
+        else open(args.output, "a" if resumed else "w")
+    )
+    n_pts = n_alarms = 0
+    state_dirty = False
+    try:
+        for batches in _stream_chunks_multi(
+            sources, n_features, chunk,
+            flush_ms=args.flush_ms, bad_line=args.bad_line,
+        ):
+            signal.pthread_sigmask(signal.SIG_BLOCK, {signal.SIGTERM})
+            try:
+                prepared = []
+                for e, b in enumerate(batches):
+                    if scalers[e] is not None and b.shape[0]:
+                        b = scalers[e].transform(
+                            np.nan_to_num(np.asarray(b, np.float32))
+                        )
+                    prepared.append(b)
+                recs = fleet.update_ragged(prepared, pad_to=chunk)
+                for e, group_recs in enumerate(recs):
+                    for rec in group_recs:
+                        n_pts += 1
+                        n_alarms += bool(rec.get("is_anomaly"))
+                        sink.write(json.dumps({
+                            "group": groups[e],
+                            "t": int(rec["t"]),
+                            "score": float(rec["score"]),
+                            "threshold": float(rec["threshold"]),
+                            "is_anomaly": bool(rec["is_anomaly"]),
+                        }) + "\n")
+                sink.flush()
+                state_dirty = True
+                if args.state_file:
+                    fleet.save_state(args.state_file)
+                    state_dirty = False
+            finally:
+                signal.pthread_sigmask(
+                    signal.SIG_UNBLOCK, {signal.SIGTERM}
+                )
+    finally:
+        if args.state_file and state_dirty:
+            fleet.save_state(args.state_file)
+        if sink is not sys.stdout:
+            sink.close()
+    print(f"Served {n_pts} points, {n_alarms} alarms across {E} entities.",
+          file=sys.stderr)
+
+
 def main() -> None:
     # A long-running server is stopped with SIGTERM (systemd, docker stop,
     # plain `kill`): convert it into SystemExit so the finally-block below
@@ -250,6 +485,10 @@ def main() -> None:
     from mtad_gat_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache(getattr(args, "compile_cache", "default"))
+
+    if "," in args.group:
+        # fleet mode: --group 1-1,1-2,... with one --input CSV per group
+        return _fleet_main(args)
 
     dataset = args.dataset
     if dataset == "SMD":

@@ -604,3 +604,95 @@ def test_serve_cli_sigterm_persists_state(smd_like_root, tmp_path):
     np.testing.assert_array_equal(
         [r["score"] for r in got], [r["score"] for r in want]
     )
+
+
+def test_serve_cli_fleet_mode(smd_like_root, tmp_path, monkeypatch):
+    """serve.py fleet mode (--group 1-1,1-2): two machines' UNALIGNED
+    streams served from one process match each machine's standalone serve
+    records — per-entity scalers, thresholds, and positions all
+    independent."""
+    import sys
+
+    # second entity with its own distinct data
+    proc = (
+        smd_like_root / "ServerMachineDataset" / "processed"
+    )
+    if not os.path.exists(proc / "machine-1-2_train.pkl"):
+        train2, test2, labels2 = synthetic_series(
+            n_train=500, n_test=300, n_features=38, seed=9
+        )
+        for name, arr in [
+            ("machine-1-2_train.pkl", train2),
+            ("machine-1-2_test.pkl", test2),
+            ("machine-1-2_test_label.pkl", labels2.astype(np.float32)),
+        ]:
+            with open(proc / name, "wb") as f:
+                pickle.dump(arr, f)
+
+    out_root = tmp_path / "output"
+    for g, rid in (("1-1", "01012026_190000"), ("1-2", "01012026_190001")):
+        cfg = RunConfig(
+            dataset="SMD", group=g, lookback=20, epochs=1, bs=32,
+            gru_hid_dim=16, fc_hid_dim=16, fc_n_layers=1, recon_hid_dim=16,
+            log_tensorboard=False, data_root=str(smd_like_root),
+            output_root=str(out_root),
+        )
+        run_training(cfg, run_id=rid)
+
+    def load_test(g):
+        with open(proc / f"machine-{g}_test.pkl", "rb") as f:
+            return pickle.load(f)
+
+    streams = {"1-1": load_test("1-1")[:70], "1-2": load_test("1-2")[:40]}
+    csvs = {}
+    for g, arr in streams.items():
+        csvs[g] = tmp_path / f"fleet_{g}.csv"
+        np.savetxt(csvs[g], arr, delimiter=",")
+
+    from mtad_gat_tpu.cli import serve_cli
+
+    fleet_out = tmp_path / "fleet.jsonl"
+    monkeypatch.setattr(sys, "argv", [
+        "serve.py", "--dataset", "SMD", "--group", "1-1,1-2",
+        "--model_id", "-1",
+        "--data_root", str(smd_like_root), "--output_root", str(out_root),
+        "--input", f"{csvs['1-1']},{csvs['1-2']}",
+        "--output", str(fleet_out),
+        "--chunk", "16", "--threshold_method", "epsilon",
+        "--log_tensorboard", "False",
+        "--state_file", str(tmp_path / "fleet.state"),
+    ])
+    serve_cli.main()
+    fleet_records = [
+        json.loads(l) for l in fleet_out.read_text().splitlines()
+    ]
+    by_group = {}
+    for r in fleet_records:
+        by_group.setdefault(r["group"], []).append(r)
+    assert len(by_group["1-1"]) == 70
+    assert len(by_group["1-2"]) == 40
+    assert os.path.exists(tmp_path / "fleet.state")
+
+    # standalone oracle per machine
+    for g in ("1-1", "1-2"):
+        solo_out = tmp_path / f"solo_{g}.jsonl"
+        monkeypatch.setattr(sys, "argv", [
+            "serve.py", "--dataset", "SMD", "--group", g,
+            "--model_id", "-1",
+            "--data_root", str(smd_like_root),
+            "--output_root", str(out_root),
+            "--input", str(csvs[g]), "--output", str(solo_out),
+            "--chunk", "16", "--threshold_method", "epsilon",
+            "--log_tensorboard", "False",
+        ])
+        serve_cli.main()
+        want = [json.loads(l) for l in solo_out.read_text().splitlines()]
+        got = by_group[g]
+        assert [r["t"] for r in got] == [r["t"] for r in want]
+        np.testing.assert_allclose(
+            [r["score"] for r in got], [r["score"] for r in want],
+            rtol=1e-5, atol=1e-6,
+        )
+        assert [r["threshold"] for r in got] == [
+            r["threshold"] for r in want
+        ]
