@@ -323,6 +323,18 @@ def _fleet_main(args) -> None:
         cfg = RunConfig.load(os.path.join(model_path, "config.txt"))
         if cfg0 is None:
             cfg0 = cfg
+        elif cfg.model_config(1, 1) != cfg0.model_config(1, 1):
+            raise SystemExit(
+                f"fleet serving stacks params via vmap: group {g}'s model "
+                f"config differs from group {groups[0]}'s — serve it solo "
+                f"or retrain with matching hyper-parameters"
+            )
+        if cfg.scale_scores:
+            print(
+                f"serve: WARNING — group {g} used scale_scores=True; the "
+                "stream is scored and calibrated on RAW scores (see "
+                "OnlineScorer docstring).", file=sys.stderr,
+            )
         entity = f"machine-{g[0]}-{g[2:]}"
         (x_train, _), _ = get_data(
             entity, data_root=args.data_root, normalize=cfg.normalize
@@ -360,8 +372,14 @@ def _fleet_main(args) -> None:
     )
     tails = [t for _, t in per_params]
     n_features = tails[0].shape[1]
+    span = None
+    if cfg0.use_mov_av:
+        from mtad_gat_tpu.inference.predictor import smoothing_span
+
+        span = smoothing_span(cfg0.lookback)
     fleet = OnlineFleetScorer(
-        model, stacked, E, cfg0.lookback, n_features, gamma=cfg0.gamma
+        model, stacked, E, cfg0.lookback, n_features, gamma=cfg0.gamma,
+        smoothing_span=span,
     )
     chunk = max(1, args.chunk)
     resumed = bool(args.state_file and os.path.exists(args.state_file))
@@ -371,7 +389,13 @@ def _fleet_main(args) -> None:
               file=sys.stderr)
     else:
         for e, th in enumerate(thresholds):
-            fleet.fit_threshold(e, th.pop("train_scores"), **th)
+            scores = th.pop("train_scores")
+            if span is not None:
+                # calibrate on SMOOTHED train scores (prediction.py:158-163)
+                import pandas as pd
+
+                scores = pd.Series(scores).ewm(span=span).mean().to_numpy()
+            fleet.fit_threshold(e, scores, **th)
         fleet.update_many(np.stack(tails), pad_to=None)  # prime all windows
         print(f"Fleet serving: {E} entities primed; chunk={chunk}, "
               f"threshold={args.threshold_method}", file=sys.stderr)
