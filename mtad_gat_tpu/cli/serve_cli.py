@@ -230,9 +230,7 @@ def _stream_chunks_multi(sources, n_features: int, chunk: int,
             line = raw.decode(errors="replace").strip()
             if not line:
                 continue
-            vals = _parse_row(
-                f"{line}", n_features, bad_line, lineno[i]
-            )
+            vals = _parse_row(line, n_features, bad_line, lineno[i])
             if vals is None:
                 continue
             rows[i].append(vals)
@@ -307,6 +305,11 @@ def _fleet_main(args) -> None:
             f"--input must list one CSV per group ({len(groups)} groups, "
             f"{len(sources)} inputs)"
         )
+    if "-" in sources:
+        raise SystemExit(
+            "fleet mode multiplexes one FILE per group; '-' (stdin) is "
+            "only supported in single-group mode"
+        )
     if args.dataset != "SMD":
         raise SystemExit("fleet serving is per-machine: --dataset SMD only")
 
@@ -315,6 +318,7 @@ def _fleet_main(args) -> None:
     from mtad_gat_tpu.training import Trainer
 
     E = len(groups)
+    resumed = bool(args.state_file and os.path.exists(args.state_file))
     per_params, scalers, thresholds, model = [], [], [], None
     cfg0 = None
     for g in groups:
@@ -328,6 +332,17 @@ def _fleet_main(args) -> None:
                 f"fleet serving stacks params via vmap: group {g}'s model "
                 f"config differs from group {groups[0]}'s — serve it solo "
                 f"or retrain with matching hyper-parameters"
+            )
+        elif (cfg.gamma, cfg.use_mov_av, cfg.scale_scores, cfg.normalize) != (
+            cfg0.gamma, cfg0.use_mov_av, cfg0.scale_scores, cfg0.normalize
+        ):
+            # the fleet scores every entity with cfg0's gamma/smoothing; a
+            # mismatched group's threshold would be calibrated on a
+            # different scale than its streaming scores — refuse loudly
+            raise SystemExit(
+                f"fleet serving shares scoring parameters: group {g}'s "
+                f"gamma/use_mov_av/scale_scores/normalize differ from group "
+                f"{groups[0]}'s — serve it solo"
             )
         if cfg.scale_scores:
             print(
@@ -355,15 +370,20 @@ def _fleet_main(args) -> None:
             model = trainer.model
         per_params.append(trainer.state.params)
         scalers.append(scaler)
-        scores = _train_scores(
-            model_path, trainer, x_train, cfg, n_features, None
-        )
-        level, q, reg_level = lookup_pot_params("SMD", g, cfg.level, cfg.q)
-        thresholds.append(dict(
-            train_scores=scores, method=args.threshold_method,
-            reg_level=reg_level, q=q, level=level,
-            drift_depth=args.drift_depth,
-        ))
+        if not resumed:
+            # resume restores thresholds/positions from the state file —
+            # don't pay E entities' worth of calibration scoring on restart
+            scores = _train_scores(
+                model_path, trainer, x_train, cfg, n_features, None
+            )
+            level, q, reg_level = lookup_pot_params(
+                "SMD", g, cfg.level, cfg.q
+            )
+            thresholds.append(dict(
+                train_scores=scores, method=args.threshold_method,
+                reg_level=reg_level, q=q, level=level,
+                drift_depth=args.drift_depth,
+            ))
         tails = x_train[-cfg.lookback:]
         per_params[-1] = (per_params[-1], tails)  # carry tail alongside
 
@@ -381,12 +401,26 @@ def _fleet_main(args) -> None:
         model, stacked, E, cfg0.lookback, n_features, gamma=cfg0.gamma,
         smoothing_span=span,
     )
+    fleet.labels = list(groups)
     chunk = max(1, args.chunk)
-    resumed = bool(args.state_file and os.path.exists(args.state_file))
+    buckets = sorted({b for b in (1, 8, 32, chunk) if b <= chunk})
+
+    def bucket_for(n: int) -> int:
+        return next(b for b in buckets if b >= n)
+
     if resumed:
         fleet.load_state_file(args.state_file)
-        print(f"Fleet serving: resumed {E} entities from {args.state_file}",
-              file=sys.stderr)
+        active = fleet._entities[0]._threshold_method
+        if active != args.threshold_method:
+            print(
+                f"serve: WARNING — resumed fleet state carries "
+                f"threshold_method={active!r}, which stays active; the "
+                f"requested --threshold_method {args.threshold_method!r} "
+                f"is ignored (delete {args.state_file} to re-calibrate).",
+                file=sys.stderr,
+            )
+        print(f"Fleet serving: resumed {E} entities from {args.state_file} "
+              f"(threshold={active})", file=sys.stderr)
     else:
         for e, th in enumerate(thresholds):
             scores = th.pop("train_scores")
@@ -420,18 +454,28 @@ def _fleet_main(args) -> None:
                             np.nan_to_num(np.asarray(b, np.float32))
                         )
                     prepared.append(b)
-                recs = fleet.update_ragged(prepared, pad_to=chunk)
+                longest = max(b.shape[0] for b in prepared)
+                recs = fleet.update_ragged(
+                    prepared, pad_to=bucket_for(max(1, longest))
+                )
                 for e, group_recs in enumerate(recs):
                     for rec in group_recs:
                         n_pts += 1
                         n_alarms += bool(rec.get("is_anomaly"))
-                        sink.write(json.dumps({
+                        out = {
                             "group": groups[e],
                             "t": int(rec["t"]),
                             "score": float(rec["score"]),
                             "threshold": float(rec["threshold"]),
                             "is_anomaly": bool(rec["is_anomaly"]),
-                        }) + "\n")
+                        }
+                        if args.emit_features > 0:
+                            a = np.asarray(rec["a_score"])
+                            top = np.argsort(a)[::-1][: args.emit_features]
+                            out["top_features"] = [
+                                [int(i), float(a[i])] for i in top
+                            ]
+                        sink.write(json.dumps(out) + "\n")
                 sink.flush()
                 state_dirty = True
                 if args.state_file:

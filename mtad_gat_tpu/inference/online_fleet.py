@@ -65,6 +65,10 @@ class OnlineFleetScorer:
         self.window = window_size
         self.n_features = n_features
         self.target_dims = None if target_dims is None else list(target_dims)
+        # optional entity labels (e.g. SMD group names); persisted with the
+        # state so a resume with a reordered fleet fails instead of silently
+        # swapping every entity's ring buffer and threshold state
+        self.labels: Optional[List[str]] = None
         self.out_dim = (
             n_features if self.target_dims is None else len(self.target_dims)
         )
@@ -222,6 +226,8 @@ class OnlineFleetScorer:
             "n_entities": self.n_entities,
             "window": self.window,
             "n_features": self.n_features,
+            "labels": self.labels,
+            "smoothing_span": self._entities[0].smoothing_span,
             "buffers": np.asarray(self._buffers),
             "pendings": np.asarray(self._pendings),
             "seen": [ent._seen for ent in self._entities],
@@ -243,6 +249,21 @@ class OnlineFleetScorer:
                 "fleet state geometry mismatch: "
                 f"{(state['n_entities'], state['window'], state['n_features'])}"
                 f" vs {(self.n_entities, self.window, self.n_features)}"
+            )
+        saved_labels = state.get("labels")
+        if (
+            saved_labels is not None and self.labels is not None
+            and saved_labels != self.labels
+        ):
+            raise ValueError(
+                f"fleet state is for entities {saved_labels}, scorer has "
+                f"{self.labels} — same entities in the same order required"
+            )
+        saved_span = state.get("smoothing_span")
+        if saved_span != self._entities[0].smoothing_span:
+            raise ValueError(
+                f"fleet state has smoothing_span={saved_span}, scorer has "
+                f"{self._entities[0].smoothing_span}"
             )
         self._buffers = jnp.asarray(state["buffers"], jnp.float32)
         self._pendings = jnp.asarray(state["pendings"], jnp.float32)

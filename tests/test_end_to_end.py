@@ -673,6 +673,35 @@ def test_serve_cli_fleet_mode(smd_like_root, tmp_path, monkeypatch):
     assert len(by_group["1-2"]) == 40
     assert os.path.exists(tmp_path / "fleet.state")
 
+    # resumed fleet session: continues from the state file without
+    # re-calibrating, t positions continue per entity
+    more = {"1-1": load_test("1-1")[70:90], "1-2": load_test("1-2")[40:65]}
+    csvs2 = {}
+    for g, arr in more.items():
+        csvs2[g] = tmp_path / f"fleet2_{g}.csv"
+        np.savetxt(csvs2[g], arr, delimiter=",")
+    monkeypatch.setattr(sys, "argv", [
+        "serve.py", "--dataset", "SMD", "--group", "1-1,1-2",
+        "--model_id", "-1",
+        "--data_root", str(smd_like_root), "--output_root", str(out_root),
+        "--input", f"{csvs2['1-1']},{csvs2['1-2']}",
+        "--output", str(fleet_out),
+        "--chunk", "16", "--threshold_method", "epsilon",
+        "--log_tensorboard", "False",
+        "--state_file", str(tmp_path / "fleet.state"),
+    ])
+    serve_cli.main()
+    all_records = [
+        json.loads(l) for l in fleet_out.read_text().splitlines()
+    ]
+    by_group2 = {}
+    for r in all_records:
+        by_group2.setdefault(r["group"], []).append(r)
+    assert len(by_group2["1-1"]) == 90 and len(by_group2["1-2"]) == 65
+    # t continues per entity across the restart (priming offset = lookback)
+    assert [r["t"] for r in by_group2["1-1"]] == list(range(20, 110))
+    assert [r["t"] for r in by_group2["1-2"]] == list(range(20, 85))
+
     # standalone oracle per machine
     for g in ("1-1", "1-2"):
         solo_out = tmp_path / f"solo_{g}.jsonl"

@@ -165,3 +165,24 @@ def test_fleet_ragged_streams_match_solo(fleet):
             [r["score"] for r in got[e]], [r["score"] for r in want],
             rtol=1e-5, atol=1e-6,
         )
+
+
+def test_fleet_state_rejects_reordered_entities(fleet, tmp_path):
+    """Resuming a fleet state with reordered/renamed entities must fail —
+    a silent load would swap every entity's ring buffer and threshold."""
+    model, _, stacked = fleet
+    fs = OnlineFleetScorer(model, stacked, E, W, K)
+    fs.labels = ["1-1", "1-2", "1-3"]
+    fs.update_many(_streams(30))
+    state = str(tmp_path / "f.state")
+    fs.save_state(state)
+
+    reordered = OnlineFleetScorer(model, stacked, E, W, K)
+    reordered.labels = ["1-2", "1-1", "1-3"]
+    with pytest.raises(ValueError, match="same entities in the same order"):
+        reordered.load_state_file(state)
+
+    spanned = OnlineFleetScorer(model, stacked, E, W, K, smoothing_span=7)
+    spanned.labels = ["1-1", "1-2", "1-3"]
+    with pytest.raises(ValueError, match="smoothing_span"):
+        spanned.load_state_file(state)
