@@ -213,7 +213,14 @@ def _stream_chunks_multi(sources, n_features: int, chunk: int,
     streams are dry."""
     import select
 
-    fhs = [open(src) for src in sources]
+    fhs = []
+    try:
+        for src in sources:
+            fhs.append(open(src))
+    except OSError as e:
+        for fh in fhs:
+            fh.close()
+        raise SystemExit(f"serve: cannot open input stream: {e}")
     fds = [fh.fileno() for fh in fhs]
     bufs = [b"" for _ in fhs]
     rows = [[] for _ in fhs]
@@ -223,7 +230,6 @@ def _stream_chunks_multi(sources, n_features: int, chunk: int,
     use_select = flush_ms is not None and flush_ms > 0
 
     def drain(i):
-        emitted = False
         while b"\n" in bufs[i]:
             raw, bufs[i] = bufs[i].split(b"\n", 1)
             lineno[i] += 1
@@ -234,8 +240,6 @@ def _stream_chunks_multi(sources, n_features: int, chunk: int,
             if vals is None:
                 continue
             rows[i].append(vals)
-            emitted = True
-        return emitted
 
     def flush():
         # at most `chunk` rows per stream per dispatch (a burst read can
@@ -286,6 +290,98 @@ def _stream_chunks_multi(sources, n_features: int, chunk: int,
             fh.close()
 
 
+def _bucket_ladder(chunk: int):
+    """Padding buckets shared by solo and fleet serving: a timer-flushed
+    1-row chunk on a chunk-128 server must not pay 128 sequential forwards —
+    pad up to the smallest bucket instead. Each bucket compiles once
+    (lazily; the persistent compile cache makes later sessions free), full
+    chunks still hit one program."""
+    buckets = sorted({b for b in (1, 8, 32, chunk) if b <= chunk})
+
+    def bucket_for(n: int) -> int:
+        return next(b for b in buckets if b >= n)
+
+    return bucket_for
+
+
+def _record_json(rec, emit_features: int, feat_index=None) -> dict:
+    """The JSONL record surface shared by solo and fleet serving.
+    ``feat_index`` maps a_score positions back to original CSV column
+    indices (target-dims runs); None = identity."""
+    out = {
+        "t": int(rec["t"]),
+        "score": float(rec["score"]),
+        "threshold": float(rec["threshold"]),
+        "is_anomaly": bool(rec["is_anomaly"]),
+    }
+    if emit_features > 0:
+        a = np.asarray(rec["a_score"])
+        top = np.argsort(a)[::-1][:emit_features]
+        out["top_features"] = [
+            [int(i) if feat_index is None else feat_index[int(i)], float(a[i])]
+            for i in top
+        ]
+    return out
+
+
+def _warn_resumed_method(active: str, requested: str, state_file: str) -> None:
+    if active != requested:
+        print(
+            f"serve: WARNING — resumed state carries threshold_method="
+            f"{active!r}, which stays active; the requested "
+            f"--threshold_method {requested!r} is ignored (delete "
+            f"{state_file} to re-calibrate).",
+            file=sys.stderr,
+        )
+
+
+def _open_sink(output: str, resumed: bool):
+    # resuming with the same --output must APPEND: truncating would destroy
+    # every record emitted before the crash while the scorer resumes past
+    # them (they could never be regenerated)
+    return sys.stdout if output == "-" else open(output, "a" if resumed else "w")
+
+
+def _serve_loop(chunks, score_chunk, sink, save_state) -> tuple:
+    """The serving protocol shared by solo and fleet modes. For every chunk
+    from the stream: block SIGTERM across the score->write->save section (an
+    exception at an arbitrary point inside would persist a TORN state — ring
+    buffer advanced, EWM/SPOT partially applied — or drop scored records;
+    the pending signal fires at the unblock, between chunks, where the state
+    is consistent by construction), write one JSONL record per scoreable
+    point, persist streaming state per chunk and once more on exit if the
+    last chunk's save did not happen.
+
+    ``score_chunk(batch)`` feeds the batch to the scorer and yields
+    fully-decorated record dicts; ``save_state`` is a zero-arg callable or
+    None. Returns ``(points_served, alarms)``."""
+    import signal
+
+    n_pts = n_alarms = 0
+    state_dirty = False
+    try:
+        for batch in chunks:
+            signal.pthread_sigmask(signal.SIG_BLOCK, {signal.SIGTERM})
+            try:
+                for out in score_chunk(batch):
+                    n_pts += 1
+                    n_alarms += bool(out.get("is_anomaly"))
+                    sink.write(json.dumps(out) + "\n")
+                sink.flush()
+                state_dirty = True
+                if save_state is not None:
+                    save_state()
+                    state_dirty = False
+            finally:
+                signal.pthread_sigmask(signal.SIG_UNBLOCK, {signal.SIGTERM})
+    finally:
+        if save_state is not None and state_dirty:
+            save_state()
+        if sink is not sys.stdout:
+            sink.close()
+    return n_pts, n_alarms
+
+
 def _fleet_main(args) -> None:
     """Fleet serving: one process streams EVERY group's machine through one
     vmapped dispatch (``--group 1-1,1-2,...`` + matching comma-separated
@@ -293,13 +389,11 @@ def _fleet_main(args) -> None:
     calibration, stream position, and flush buffer; chunks are RAGGED —
     machines emit at different rates and each dispatch carries whatever
     each stream brought (OnlineFleetScorer.update_ragged)."""
-    import signal
-
     import jax
     import jax.numpy as jnp
 
-    groups = args.group.split(",")
-    sources = args.input.split(",")
+    groups = [g.strip() for g in args.group.split(",")]
+    sources = [s.strip() for s in args.input.split(",")]
     if len(sources) != len(groups):
         raise SystemExit(
             f"--input must list one CSV per group ({len(groups)} groups, "
@@ -350,7 +444,7 @@ def _fleet_main(args) -> None:
                 "stream is scored and calibrated on RAW scores (see "
                 "OnlineScorer docstring).", file=sys.stderr,
             )
-        entity = f"machine-{g[0]}-{g[2:]}"
+        entity = f"machine-{g}"
         (x_train, _), _ = get_data(
             entity, data_root=args.data_root, normalize=cfg.normalize
         )
@@ -403,22 +497,12 @@ def _fleet_main(args) -> None:
     )
     fleet.labels = list(groups)
     chunk = max(1, args.chunk)
-    buckets = sorted({b for b in (1, 8, 32, chunk) if b <= chunk})
-
-    def bucket_for(n: int) -> int:
-        return next(b for b in buckets if b >= n)
+    bucket_for = _bucket_ladder(chunk)
 
     if resumed:
         fleet.load_state_file(args.state_file)
         active = fleet._entities[0]._threshold_method
-        if active != args.threshold_method:
-            print(
-                f"serve: WARNING — resumed fleet state carries "
-                f"threshold_method={active!r}, which stays active; the "
-                f"requested --threshold_method {args.threshold_method!r} "
-                f"is ignored (delete {args.state_file} to re-calibrate).",
-                file=sys.stderr,
-            )
+        _warn_resumed_method(active, args.threshold_method, args.state_file)
         print(f"Fleet serving: resumed {E} entities from {args.state_file} "
               f"(threshold={active})", file=sys.stderr)
     else:
@@ -430,66 +514,44 @@ def _fleet_main(args) -> None:
 
                 scores = pd.Series(scores).ewm(span=span).mean().to_numpy()
             fleet.fit_threshold(e, scores, **th)
-        fleet.update_many(np.stack(tails), pad_to=None)  # prime all windows
+        # prime every window with the train tails, in bucket-padded chunks
+        # so serving reuses the compiled programs (a one-off full-lookback
+        # vmapped scan would be a dead multi-second compile at long windows)
+        prime = np.stack(tails)  # (E, lookback, k)
+        for i in range(0, prime.shape[1], chunk):
+            n = min(chunk, prime.shape[1] - i)
+            fleet.update_many(prime[:, i:i + n], pad_to=bucket_for(n))
         print(f"Fleet serving: {E} entities primed; chunk={chunk}, "
               f"threshold={args.threshold_method}", file=sys.stderr)
 
-    sink = (
-        sys.stdout if args.output == "-"
-        else open(args.output, "a" if resumed else "w")
+    def score_chunk(batches):
+        prepared = []
+        for e, b in enumerate(batches):
+            if scalers[e] is not None and b.shape[0]:
+                b = scalers[e].transform(
+                    np.nan_to_num(np.asarray(b, np.float32))
+                )
+            prepared.append(b)
+        longest = max(b.shape[0] for b in prepared)
+        recs = fleet.update_ragged(prepared, pad_to=bucket_for(max(1, longest)))
+        for e, group_recs in enumerate(recs):
+            for rec in group_recs:
+                yield {
+                    "group": groups[e],
+                    **_record_json(rec, args.emit_features),
+                }
+
+    sink = _open_sink(args.output, resumed)
+    save_state = (
+        (lambda: fleet.save_state(args.state_file)) if args.state_file else None
     )
-    n_pts = n_alarms = 0
-    state_dirty = False
-    try:
-        for batches in _stream_chunks_multi(
+    n_pts, n_alarms = _serve_loop(
+        _stream_chunks_multi(
             sources, n_features, chunk,
             flush_ms=args.flush_ms, bad_line=args.bad_line,
-        ):
-            signal.pthread_sigmask(signal.SIG_BLOCK, {signal.SIGTERM})
-            try:
-                prepared = []
-                for e, b in enumerate(batches):
-                    if scalers[e] is not None and b.shape[0]:
-                        b = scalers[e].transform(
-                            np.nan_to_num(np.asarray(b, np.float32))
-                        )
-                    prepared.append(b)
-                longest = max(b.shape[0] for b in prepared)
-                recs = fleet.update_ragged(
-                    prepared, pad_to=bucket_for(max(1, longest))
-                )
-                for e, group_recs in enumerate(recs):
-                    for rec in group_recs:
-                        n_pts += 1
-                        n_alarms += bool(rec.get("is_anomaly"))
-                        out = {
-                            "group": groups[e],
-                            "t": int(rec["t"]),
-                            "score": float(rec["score"]),
-                            "threshold": float(rec["threshold"]),
-                            "is_anomaly": bool(rec["is_anomaly"]),
-                        }
-                        if args.emit_features > 0:
-                            a = np.asarray(rec["a_score"])
-                            top = np.argsort(a)[::-1][: args.emit_features]
-                            out["top_features"] = [
-                                [int(i), float(a[i])] for i in top
-                            ]
-                        sink.write(json.dumps(out) + "\n")
-                sink.flush()
-                state_dirty = True
-                if args.state_file:
-                    fleet.save_state(args.state_file)
-                    state_dirty = False
-            finally:
-                signal.pthread_sigmask(
-                    signal.SIG_UNBLOCK, {signal.SIGTERM}
-                )
-    finally:
-        if args.state_file and state_dirty:
-            fleet.save_state(args.state_file)
-        if sink is not sys.stdout:
-            sink.close()
+        ),
+        score_chunk, sink, save_state,
+    )
     print(f"Served {n_pts} points, {n_alarms} alarms across {E} entities.",
           file=sys.stderr)
 
@@ -621,28 +683,16 @@ def main() -> None:
         smoothing_span=span,
     )
     chunk = max(1, args.chunk)
-    # Padding buckets: a timer-flushed 1-row chunk on a chunk-128 server
-    # must not pay 128 sequential forwards — pad up to the smallest bucket
-    # instead. Each bucket compiles once (lazily; the persistent compile
-    # cache makes later sessions free), full chunks still hit one program.
-    buckets = sorted({b for b in (1, 8, 32, chunk) if b <= chunk})
-
-    def bucket_for(n: int) -> int:
-        return next(b for b in buckets if b >= n)
+    bucket_for = _bucket_ladder(chunk)
 
     resumed = bool(args.state_file and os.path.exists(args.state_file))
     if resumed:
         # crash/restart resume: ring buffer + EWM + threshold/SPOT state +
         # position restored exactly; no re-priming, no re-calibration
         scorer.load_state_file(args.state_file)
-        if scorer._threshold_method != args.threshold_method:
-            print(
-                f"serve: WARNING — resumed state carries threshold_method="
-                f"{scorer._threshold_method!r}, which stays active; the "
-                f"requested --threshold_method {args.threshold_method!r} is "
-                f"ignored (delete {args.state_file} to re-calibrate).",
-                file=sys.stderr,
-            )
+        _warn_resumed_method(
+            scorer._threshold_method, args.threshold_method, args.state_file
+        )
         print(f"Serving: resumed streaming state from {args.state_file} "
               f"(t={scorer._seen}, threshold={scorer._threshold_method}); "
               f"chunk={chunk}", file=sys.stderr)
@@ -678,67 +728,28 @@ def main() -> None:
               f"points; chunk={chunk}, threshold={args.threshold_method}",
               file=sys.stderr)
 
-    # resuming with the same --output must APPEND: truncating would destroy
-    # every record emitted before the crash while the scorer resumes past
-    # them (they could never be regenerated)
-    sink = (
-        sys.stdout if args.output == "-"
-        else open(args.output, "a" if resumed else "w")
-    )
     # feature indices for --emit_features: a_score is in target-dims space
     # (MSL/SMAP score only their telemetry channel) — map back to the
     # stream's CSV column indices for triage
     feat_index = (
         list(range(n_features)) if target_dims is None else list(target_dims)
     )
-    n_pts = n_alarms = 0
-    state_dirty = False
-    try:
-        for batch in _stream_chunks(args.input, n_features, chunk,
-                                    flush_ms=args.flush_ms,
-                                    bad_line=args.bad_line):
-            # Block SIGTERM across score->write->save: an exception at an
-            # arbitrary point inside would persist a TORN state (ring
-            # buffer advanced, EWM/SPOT partially applied) or drop scored
-            # records. The pending signal fires at the unblock — between
-            # chunks, where the state is consistent by construction.
-            signal.pthread_sigmask(signal.SIG_BLOCK, {signal.SIGTERM})
-            try:
-                if scaler is not None:
-                    batch = np.nan_to_num(np.asarray(batch, np.float32))
-                    batch = scaler.transform(batch)
-                for rec in scorer.update_many(
-                    batch, pad_to=bucket_for(len(batch))
-                ):
-                    n_pts += 1
-                    n_alarms += bool(rec.get("is_anomaly"))
-                    out = {
-                        "t": int(rec["t"]),
-                        "score": float(rec["score"]),
-                        "threshold": float(rec["threshold"]),
-                        "is_anomaly": bool(rec["is_anomaly"]),
-                    }
-                    if args.emit_features > 0:
-                        a = np.asarray(rec["a_score"])
-                        top = np.argsort(a)[::-1][: args.emit_features]
-                        out["top_features"] = [
-                            [feat_index[int(i)], float(a[i])] for i in top
-                        ]
-                    sink.write(json.dumps(out) + "\n")
-                sink.flush()
-                state_dirty = True
-                if args.state_file:
-                    scorer.save_state(args.state_file)
-                    state_dirty = False
-            finally:
-                signal.pthread_sigmask(
-                    signal.SIG_UNBLOCK, {signal.SIGTERM}
-                )
-    finally:
-        if args.state_file and state_dirty:
-            scorer.save_state(args.state_file)
-        if sink is not sys.stdout:
-            sink.close()
+
+    def score_chunk(batch):
+        if scaler is not None:
+            batch = scaler.transform(np.nan_to_num(np.asarray(batch, np.float32)))
+        for rec in scorer.update_many(batch, pad_to=bucket_for(len(batch))):
+            yield _record_json(rec, args.emit_features, feat_index)
+
+    sink = _open_sink(args.output, resumed)
+    save_state = (
+        (lambda: scorer.save_state(args.state_file)) if args.state_file else None
+    )
+    n_pts, n_alarms = _serve_loop(
+        _stream_chunks(args.input, n_features, chunk,
+                       flush_ms=args.flush_ms, bad_line=args.bad_line),
+        score_chunk, sink, save_state,
+    )
     print(f"Served {n_pts} points, {n_alarms} alarms.", file=sys.stderr)
 
 

@@ -35,6 +35,56 @@ from mtad_gat_tpu.inference.spot import SPOT
 from mtad_gat_tpu.models import MTADGAT
 
 
+def make_one_point(model_apply, dims, gamma):
+    """Build the per-point streaming scoring step shared by the solo scorer
+    and the vmapped fleet scorer (``online_fleet.py``): roll the ring buffer,
+    run ONE forward on the window ending at the new point (forecast of the
+    NEXT point + recon of the newest point — ``prediction.py:55-63``
+    semantics, streamed), and score entirely on-device so one host fetch
+    retrieves everything.
+
+    ``dims`` is a jnp index array for target-dims slicing or None. Returns
+    ``one_point(params, buffer, pending, x) -> (buffer, forecast, outs)``
+    with ``outs = (pending, recon, a_score, global_score)``."""
+    gamma_c = float(gamma)
+
+    def one_point(params, buffer, pending, x):
+        buffer = jnp.concatenate([buffer[1:], x[None, :]], axis=0)
+        preds, recons = model_apply(
+            {"params": params}, buffer[None], deterministic=True
+        )
+        recon = recons[0, -1, :]
+        actual = x if dims is None else x[dims]
+        a_score = (
+            jnp.sqrt((pending - actual) ** 2)
+            + gamma_c * jnp.sqrt((recon - actual) ** 2)
+        )
+        return buffer, preds[0], (pending, recon, a_score, a_score.mean())
+
+    return one_point
+
+
+def _host_only_step(*_args, **_kw):
+    raise RuntimeError(
+        "this OnlineScorer was built with params=None (host-side threshold/"
+        "EWM bookkeeping only, as used by OnlineFleetScorer) — it has no "
+        "device state; feed points through the fleet scorer instead"
+    )
+
+
+def atomic_pickle(path: str, obj) -> None:
+    """Persist ``obj`` to ``path`` atomically (tmp write + ``os.replace``):
+    a crash mid-save can never leave a torn state file. Shared by the solo
+    and fleet scorers' ``save_state``."""
+    import os
+    import pickle
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(obj, f)
+    os.replace(tmp, path)
+
+
 class OnlineScorer:
     """Streaming scorer over a trained model.
 
@@ -71,6 +121,11 @@ class OnlineScorer:
     normalized data (the pipeline default), apply the train-fitted
     MinMaxScaler to each incoming point before ``update`` — the ``serve.py``
     CLI does this automatically (cli/serve_cli.py).
+
+    ``params=None`` builds a HOST-ONLY scorer: threshold/EWM/record
+    bookkeeping without device buffers or jitted steps — what
+    :class:`OnlineFleetScorer` uses per entity while the device work runs
+    in its one vmapped scan. ``update``/``update_many`` raise in this mode.
     """
 
     def __init__(
@@ -102,36 +157,32 @@ class OnlineScorer:
         )
 
         self._seen = 0
-        self._buffer = jnp.zeros((window_size, n_features), jnp.float32)
-        # device-resident forecast-for-the-next-point (never fetched on its
-        # own: it is returned as part of the NEXT step's single fetch)
-        self._pending_forecast = jnp.zeros((self.out_dim,), jnp.float32)
         self._threshold_method: Optional[str] = None
         self._epsilon: Optional[float] = None
         self._spot: Optional[SPOT] = None
 
-        model_apply = model.apply
-        dims = None if self.target_dims is None else jnp.asarray(self.target_dims)
-        gamma_c = float(gamma)
+        if params is None:
+            # host-only mode: OnlineFleetScorer uses one OnlineScorer per
+            # entity purely for the threshold/EWM/record bookkeeping — the
+            # device ring buffers and the jitted steps live in the fleet's
+            # single vmapped scan, so allocating per-entity device buffers
+            # here would be dead weight (window 8192 x 28 entities ≈ 35 MB
+            # of unused HBM). update()/update_many() raise.
+            self._buffer = None
+            self._pending_forecast = None
+            self._step = self._step_chunk = _host_only_step
+            return
 
-        def one_point(params, buffer, pending, x):
-            # roll the ring buffer and run ONE forward on the window ending
-            # at the new point: forecast of the NEXT point + recon of the
-            # newest point (prediction.py:55-63 semantics, streamed). The
-            # whole score is computed on-device so ONE host fetch per point
-            # retrieves everything (remote-attach round trips dominate
-            # serving latency, docs/PERFORMANCE.md).
-            buffer = jnp.concatenate([buffer[1:], x[None, :]], axis=0)
-            preds, recons = model_apply(
-                {"params": params}, buffer[None], deterministic=True
-            )
-            recon = recons[0, -1, :]
-            actual = x if dims is None else x[dims]
-            a_score = (
-                jnp.sqrt((pending - actual) ** 2)
-                + gamma_c * jnp.sqrt((recon - actual) ** 2)
-            )
-            return buffer, preds[0], (pending, recon, a_score, a_score.mean())
+        self._buffer = jnp.zeros((window_size, n_features), jnp.float32)
+        # device-resident forecast-for-the-next-point (never fetched on its
+        # own: it is returned as part of the NEXT step's single fetch)
+        self._pending_forecast = jnp.zeros((self.out_dim,), jnp.float32)
+
+        dims = None if self.target_dims is None else jnp.asarray(self.target_dims)
+        # one forward per point; scored on-device so ONE host fetch per
+        # point retrieves everything (remote-attach round trips dominate
+        # serving latency, docs/PERFORMANCE.md)
+        one_point = make_one_point(model.apply, dims, gamma)
 
         @partial(jax.jit, donate_argnums=(1,))
         def step(params, buffer, pending, x):
@@ -275,8 +326,11 @@ class OnlineScorer:
         return {
             "window": self.window,
             "n_features": self.n_features,
-            "buffer": np.asarray(self._buffer),
-            "pending": np.asarray(self._pending_forecast),
+            "buffer": None if self._buffer is None else np.asarray(self._buffer),
+            "pending": (
+                None if self._pending_forecast is None
+                else np.asarray(self._pending_forecast)
+            ),
             "seen": self._seen,
             "ewm_avg": self._ewm_avg,
             "ewm_old_wt": self._ewm_old_wt,
@@ -297,8 +351,9 @@ class OnlineScorer:
                 f"state has smoothing_span={state['smoothing_span']}, "
                 f"scorer has {self.smoothing_span}"
             )
-        self._buffer = jnp.asarray(state["buffer"], jnp.float32)
-        self._pending_forecast = jnp.asarray(state["pending"], jnp.float32)
+        if state["buffer"] is not None:
+            self._buffer = jnp.asarray(state["buffer"], jnp.float32)
+            self._pending_forecast = jnp.asarray(state["pending"], jnp.float32)
         self._seen = int(state["seen"])
         self._ewm_avg = state["ewm_avg"]
         self._ewm_old_wt = state["ewm_old_wt"]
@@ -308,14 +363,7 @@ class OnlineScorer:
 
     def save_state(self, path: str) -> None:
         """Atomically persist :meth:`state_dict` (write + rename)."""
-        import pickle
-
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(self.state_dict(), f)
-        import os
-
-        os.replace(tmp, path)
+        atomic_pickle(path, self.state_dict())
 
     def load_state_file(self, path: str) -> None:
         import pickle

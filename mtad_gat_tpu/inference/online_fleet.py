@@ -27,7 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mtad_gat_tpu.inference.online import OnlineScorer
+from mtad_gat_tpu.inference.online import (
+    OnlineScorer,
+    atomic_pickle,
+    make_one_point,
+)
 from mtad_gat_tpu.models import MTADGAT
 
 
@@ -75,7 +79,8 @@ class OnlineFleetScorer:
 
         # one host-side scorer per entity carries the threshold/EWM state
         # and the record bookkeeping; the DEVICE work all happens here in
-        # the vmapped scan (the per-entity scorers' jitted steps are unused)
+        # the vmapped scan (params=None puts OnlineScorer in host-only
+        # mode: no per-entity device buffers or jitted steps are built)
         self._entities: List[OnlineScorer] = [
             OnlineScorer(
                 model, None, window_size, n_features,
@@ -90,26 +95,11 @@ class OnlineFleetScorer:
         )
         self._pendings = jnp.zeros((n_entities, self.out_dim), jnp.float32)
 
-        model_apply = model.apply
         dims = None if self.target_dims is None else jnp.asarray(self.target_dims)
-        gamma_c = float(gamma)
-
-        def one_point(params, buffer, pending, x):
-            # identical math to OnlineScorer.one_point (online.py) — kept in
-            # lockstep by the fleet-vs-solo parity test
-            buffer = jnp.concatenate([buffer[1:], x[None, :]], axis=0)
-            preds, recons = model_apply(
-                {"params": params}, buffer[None], deterministic=True
-            )
-            recon = recons[0, -1, :]
-            actual = x if dims is None else x[dims]
-            a_score = (
-                jnp.sqrt((pending - actual) ** 2)
-                + gamma_c * jnp.sqrt((recon - actual) ** 2)
-            )
-            return buffer, preds[0], (pending, recon, a_score, a_score.mean())
-
-        entity_point = jax.vmap(one_point)  # over (params, buf, pend, x)
+        # the solo scorer's per-point step, vmapped over (params, buf,
+        # pend, x) — one definition, so fleet records can't drift from solo
+        one_point = make_one_point(model.apply, dims, gamma)
+        entity_point = jax.vmap(one_point)
 
         @partial(jax.jit, donate_argnums=(1, 2))
         def step_chunk(params, buffers, pendings, xs, n_valid):
@@ -251,14 +241,16 @@ class OnlineFleetScorer:
                 f" vs {(self.n_entities, self.window, self.n_features)}"
             )
         saved_labels = state.get("labels")
-        if (
-            saved_labels is not None and self.labels is not None
-            and saved_labels != self.labels
-        ):
-            raise ValueError(
-                f"fleet state is for entities {saved_labels}, scorer has "
-                f"{self.labels} — same entities in the same order required"
-            )
+        if saved_labels is not None:
+            if self.labels is not None and list(saved_labels) != list(self.labels):
+                raise ValueError(
+                    f"fleet state is for entities {saved_labels}, scorer has "
+                    f"{self.labels} — same entities in the same order required"
+                )
+            # adopt the saved labels when the scorer has none, so the order
+            # guard survives a resume-then-save cycle through the library
+            # (a state re-saved with labels=None would strip it permanently)
+            self.labels = list(saved_labels)
         saved_span = state.get("smoothing_span")
         if saved_span != self._entities[0].smoothing_span:
             raise ValueError(
@@ -267,9 +259,7 @@ class OnlineFleetScorer:
             )
         self._buffers = jnp.asarray(state["buffers"], jnp.float32)
         self._pendings = jnp.asarray(state["pendings"], jnp.float32)
-        seen = state["seen"]
-        seen = seen if isinstance(seen, (list, tuple)) else [seen] * self.n_entities
-        for ent, es, sn in zip(self._entities, state["entities"], seen):
+        for ent, es, sn in zip(self._entities, state["entities"], state["seen"]):
             ent._ewm_avg = es["ewm_avg"]
             ent._ewm_old_wt = es["ewm_old_wt"]
             ent._threshold_method = es["threshold_method"]
@@ -278,13 +268,7 @@ class OnlineFleetScorer:
             ent._seen = int(sn)
 
     def save_state(self, path: str) -> None:
-        import os
-        import pickle
-
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(self.state_dict(), f)
-        os.replace(tmp, path)
+        atomic_pickle(path, self.state_dict())
 
     def load_state_file(self, path: str) -> None:
         import pickle

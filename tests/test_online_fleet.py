@@ -186,3 +186,17 @@ def test_fleet_state_rejects_reordered_entities(fleet, tmp_path):
     spanned.labels = ["1-1", "1-2", "1-3"]
     with pytest.raises(ValueError, match="smoothing_span"):
         spanned.load_state_file(state)
+
+    # a scorer with NO labels adopts the saved ones on load, so the order
+    # guard survives a resume-then-save cycle (a re-save with labels=None
+    # would otherwise strip it permanently from the state file)
+    unlabeled = OnlineFleetScorer(model, stacked, E, W, K)
+    assert unlabeled.labels is None
+    unlabeled.load_state_file(state)
+    assert unlabeled.labels == ["1-1", "1-2", "1-3"]
+    resaved = str(tmp_path / "f2.state")
+    unlabeled.save_state(resaved)
+    reordered2 = OnlineFleetScorer(model, stacked, E, W, K)
+    reordered2.labels = ["1-2", "1-1", "1-3"]
+    with pytest.raises(ValueError, match="same entities in the same order"):
+        reordered2.load_state_file(resaved)
