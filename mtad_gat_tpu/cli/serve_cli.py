@@ -25,10 +25,14 @@ full chunk's sequential compute; malformed rows are skipped-and-logged by
 default (``--bad_line strict`` to raise instead).
 
 Production extensions (r5): ``--state_file`` persists the full streaming
-state (ring buffer, EWM scalars, SPOT/dSPOT threshold state, position)
-atomically after every chunk and on exit, and resumes from it on start — a
-killed server continues exactly where it left off (tested kill-and-resume
-bit-identical). SIGTERM is masked across each score->write->save section so
+state (ring buffer, EWM scalars, SPOT/dSPOT threshold state, position —
+including the input file's line position) atomically after every chunk and
+on exit, and resumes from it on start — a killed server continues exactly
+where it left off (tested kill-and-resume bit-identical). Restarting on
+the SAME ``--input`` file skips the rows already served (the `tail -f`
+file-growth pattern serves appended rows exactly once); a different file
+path or stdin streams from its start, so remainder-file resumes keep
+working. SIGTERM is masked across each score->write->save section so
 a mid-chunk signal can never persist a torn state; on resume the SAME
 ``--output`` path is appended to, never truncated, and a CLI
 ``--threshold_method`` differing from the persisted one warns (the state's
@@ -138,7 +142,8 @@ def _parse_row(line: str, n_features: int, bad_line: str, lineno: int):
 
 
 def _stream_chunks(source, n_features: int, chunk: int,
-                   flush_ms: float = 1000.0, bad_line: str = "skip"):
+                   flush_ms: float = 1000.0, bad_line: str = "skip",
+                   skip_lines: int = 0, pos=None):
     """Yield (<=chunk, n_features) float32 arrays from a CSV stream
     ('-' = stdin). A chunk is emitted when `chunk` rows have arrived OR
     `flush_ms` milliseconds after its first row — a slow live stream
@@ -149,7 +154,14 @@ def _stream_chunks(source, n_features: int, chunk: int,
 
     Reads the raw fd (``os.read``) with ``select`` timeouts: selecting on a
     buffered file object would sleep while complete lines sit in its
-    userspace buffer. Malformed rows follow `bad_line` (skip|strict)."""
+    userspace buffer. Malformed rows follow `bad_line` (skip|strict).
+
+    Crash-resume plumbing: the first ``skip_lines`` input lines are
+    consumed without parsing (rows a previous session already served), and
+    ``pos`` (a 1-element list, if given) is updated to the absolute line
+    number covered by each yielded chunk BEFORE the yield — the serving
+    loop persists it with the scorer state so a restart on the same file
+    continues at the right line instead of re-scoring from row 0."""
     import select
 
     fh = sys.stdin if source == "-" else open(source)
@@ -166,6 +178,8 @@ def _stream_chunks(source, n_features: int, chunk: int,
             while b"\n" in buf:
                 raw, buf = buf.split(b"\n", 1)
                 lineno += 1
+                if lineno <= skip_lines:
+                    continue
                 line = raw.decode(errors="replace").strip()
                 if not line:
                     continue
@@ -176,6 +190,8 @@ def _stream_chunks(source, n_features: int, chunk: int,
                 if len(rows) == 1 and use_select:
                     deadline = time.monotonic() + flush_ms / 1000.0
                 if len(rows) >= chunk:
+                    if pos is not None:
+                        pos[0] = lineno
                     yield np.stack(rows)
                     rows, deadline = [], None
             if eof:
@@ -184,6 +200,8 @@ def _stream_chunks(source, n_features: int, chunk: int,
                 timeout = max(0.0, deadline - time.monotonic())
                 ready, _, _ = select.select([fd], [], [], timeout)
                 if not ready:
+                    if pos is not None:
+                        pos[0] = lineno
                     yield np.stack(rows)
                     rows, deadline = [], None
                     continue
@@ -195,6 +213,8 @@ def _stream_chunks(source, n_features: int, chunk: int,
                 continue
             buf += data
         if rows:
+            if pos is not None:
+                pos[0] = lineno
             yield np.stack(rows)
     finally:
         if fh is not sys.stdin:
@@ -202,7 +222,8 @@ def _stream_chunks(source, n_features: int, chunk: int,
 
 
 def _stream_chunks_multi(sources, n_features: int, chunk: int,
-                         flush_ms: float = 1000.0, bad_line: str = "skip"):
+                         flush_ms: float = 1000.0, bad_line: str = "skip",
+                         skip_lines=None, pos=None):
     """Multiplex E CSV streams (one file per entity) into RAGGED chunks:
     yields a list of (T_e, n_features) arrays whenever any stream fills
     ``chunk`` rows or ``flush_ms`` elapses after the first buffered row
@@ -210,7 +231,13 @@ def _stream_chunks_multi(sources, n_features: int, chunk: int,
     brought (possibly nothing). Select runs over all fds at once; each
     stream keeps its own byte buffer, row buffer, and line counter. A
     stream at EOF simply stops contributing; the generator ends when all
-    streams are dry."""
+    streams are dry.
+
+    Crash-resume plumbing (as in :func:`_stream_chunks`, per stream):
+    ``skip_lines[i]`` input lines of stream i are consumed without
+    parsing; ``pos[i]`` (if ``pos``, an E-element list, is given) tracks
+    the line number covered by the rows yielded so far from stream i —
+    rows still buffered by the burst carry-over are NOT counted."""
     import select
 
     fhs = []
@@ -223,9 +250,10 @@ def _stream_chunks_multi(sources, n_features: int, chunk: int,
         raise SystemExit(f"serve: cannot open input stream: {e}")
     fds = [fh.fileno() for fh in fhs]
     bufs = [b"" for _ in fhs]
-    rows = [[] for _ in fhs]
+    rows = [[] for _ in fhs]   # per stream: list of (vals, lineno) pairs
     lineno = [0 for _ in fhs]
     eof = [False for _ in fhs]
+    skip_lines = skip_lines or [0] * len(fhs)
     deadline = None
     use_select = flush_ms is not None and flush_ms > 0
 
@@ -233,25 +261,30 @@ def _stream_chunks_multi(sources, n_features: int, chunk: int,
         while b"\n" in bufs[i]:
             raw, bufs[i] = bufs[i].split(b"\n", 1)
             lineno[i] += 1
+            if lineno[i] <= skip_lines[i]:
+                continue
             line = raw.decode(errors="replace").strip()
             if not line:
                 continue
             vals = _parse_row(line, n_features, bad_line, lineno[i])
             if vals is None:
                 continue
-            rows[i].append(vals)
+            rows[i].append((vals, lineno[i]))
 
     def flush():
         # at most `chunk` rows per stream per dispatch (a burst read can
         # deliver a whole file at once); the remainder stays buffered and
         # the while-loop yields again immediately
         nonlocal deadline
-        out = [
-            np.stack(r[:chunk]) if r
-            else np.zeros((0, n_features), np.float32)
-            for r in rows
-        ]
-        for r in rows:
+        out = []
+        for i, r in enumerate(rows):
+            take = r[:chunk]
+            out.append(
+                np.stack([v for v, _ in take]) if take
+                else np.zeros((0, n_features), np.float32)
+            )
+            if take and pos is not None:
+                pos[i] = take[-1][1]
             del r[:chunk]
         deadline = None
         return out
@@ -324,8 +357,10 @@ def _record_json(rec, emit_features: int, feat_index=None) -> dict:
     return out
 
 
-def _warn_resumed_method(active: str, requested: str, state_file: str) -> None:
-    if active != requested:
+def _warn_resumed_method(active: str, requested, state_file: str) -> None:
+    # requested is None when --threshold_method was not given: a plain
+    # restart must not warn that a never-made request is being ignored
+    if requested is not None and active != requested:
         print(
             f"serve: WARNING — resumed state carries threshold_method="
             f"{active!r}, which stays active; the requested "
@@ -340,6 +375,54 @@ def _open_sink(output: str, resumed: bool):
     # every record emitted before the crash while the scorer resumes past
     # them (they could never be regenerated)
     return sys.stdout if output == "-" else open(output, "a" if resumed else "w")
+
+
+def _save_serving_state(scorer_obj, path: str, input_id, lines) -> None:
+    """Persist the scorer state PLUS the input-stream position in one
+    atomic write: resuming with the same file ``--input`` must skip the
+    rows already served (re-reading the file from row 0 would re-score
+    every point as new timesteps and corrupt the threshold state). The
+    scorer state and the position live in the same pickle so a kill can
+    never tear one from the other."""
+    from mtad_gat_tpu.inference.online import atomic_pickle
+
+    atomic_pickle(
+        path, {"scorer": scorer_obj.state_dict(), "input": input_id,
+               "lines": lines}
+    )
+
+
+def _load_serving_state(scorer_obj, path: str):
+    """Counterpart of :func:`_save_serving_state`; also loads state files
+    from before the position wrapper existed (raw scorer dicts). Returns
+    ``(input_id, lines)`` — ``(None, None)`` for old-format files."""
+    import pickle
+
+    with open(path, "rb") as f:
+        st = pickle.load(f)
+    if isinstance(st, dict) and "scorer" in st and "lines" in st:
+        scorer_obj.load_state(st["scorer"])
+        return st.get("input"), st.get("lines")
+    scorer_obj.load_state(st)
+    return None, None
+
+
+def _resume_skip_lines(saved_input, saved_lines, current_input, label="") -> int:
+    """Lines of ``current_input`` to fast-forward on resume: only when the
+    saved state was produced from the SAME file path (the remainder-file
+    pattern — new file with only new rows — naturally restarts at 0, and
+    stdin callers control their own stream)."""
+    if (
+        saved_input == current_input and saved_lines
+        and current_input != "-"
+    ):
+        print(
+            f"serve: resuming {current_input}{label} at line "
+            f"{int(saved_lines) + 1} (rows served before the restart are "
+            f"skipped)", file=sys.stderr,
+        )
+        return int(saved_lines)
+    return 0
 
 
 def _serve_loop(chunks, score_chunk, sink, save_state) -> tuple:
@@ -499,10 +582,22 @@ def _fleet_main(args) -> None:
     chunk = max(1, args.chunk)
     bucket_for = _bucket_ladder(chunk)
 
+    skips = [0] * E
+    stream_pos = [0] * E
     if resumed:
-        fleet.load_state_file(args.state_file)
+        saved_input, saved_lines = _load_serving_state(fleet, args.state_file)
+        if isinstance(saved_input, (list, tuple)) and saved_lines:
+            for e, src in enumerate(sources):
+                if e < len(saved_input):
+                    skips[e] = _resume_skip_lines(
+                        saved_input[e], saved_lines[e], src,
+                        label=f" ({groups[e]})",
+                    )
+        stream_pos = list(skips)
         active = fleet._entities[0]._threshold_method
-        _warn_resumed_method(active, args.threshold_method, args.state_file)
+        _warn_resumed_method(
+            active, args.threshold_method_given, args.state_file
+        )
         print(f"Fleet serving: resumed {E} entities from {args.state_file} "
               f"(threshold={active})", file=sys.stderr)
     else:
@@ -510,9 +605,9 @@ def _fleet_main(args) -> None:
             scores = th.pop("train_scores")
             if span is not None:
                 # calibrate on SMOOTHED train scores (prediction.py:158-163)
-                import pandas as pd
+                from mtad_gat_tpu.inference.predictor import smooth_scores
 
-                scores = pd.Series(scores).ewm(span=span).mean().to_numpy()
+                scores = smooth_scores(scores, span)
             fleet.fit_threshold(e, scores, **th)
         # prime every window with the train tails, in bucket-padded chunks
         # so serving reuses the compiled programs (a one-off full-lookback
@@ -543,12 +638,16 @@ def _fleet_main(args) -> None:
 
     sink = _open_sink(args.output, resumed)
     save_state = (
-        (lambda: fleet.save_state(args.state_file)) if args.state_file else None
+        (lambda: _save_serving_state(
+            fleet, args.state_file, list(sources), list(stream_pos)
+        ))
+        if args.state_file else None
     )
     n_pts, n_alarms = _serve_loop(
         _stream_chunks_multi(
             sources, n_features, chunk,
             flush_ms=args.flush_ms, bad_line=args.bad_line,
+            skip_lines=skips, pos=stream_pos,
         ),
         score_chunk, sink, save_state,
     )
@@ -563,10 +662,11 @@ def main() -> None:
     # loses at most the current chunk — state is also saved per chunk.)
     import signal
 
+    def _sigterm(_signum, _frame):
+        sys.exit(143)
+
     try:
-        signal.signal(
-            signal.SIGTERM, lambda *_: (_ for _ in ()).throw(SystemExit(143))
-        )
+        signal.signal(signal.SIGTERM, _sigterm)
     except ValueError:
         pass  # not the main thread (e.g. embedded use) — skip the handler
 
@@ -579,22 +679,27 @@ def main() -> None:
                              "'-' = stdin")
     parser.add_argument("--output", type=str, default="-",
                         help="JSONL records destination; '-' = stdout")
-    parser.add_argument("--threshold_method", type=str, default="epsilon",
+    parser.add_argument("--threshold_method", type=str, default=None,
                         choices=["epsilon", "spot", "dspot"],
                         help="alarm: fixed Hundman epsilon from train "
-                             "scores, streaming POT (GPD tail re-fit per "
-                             "peak), or drift-aware streaming POT (dspot: "
-                             "subtracts a --drift_depth moving average "
-                             "first — for wandering score baselines)")
+                             "scores (the default), streaming POT (GPD "
+                             "tail re-fit per peak), or drift-aware "
+                             "streaming POT (dspot: subtracts a "
+                             "--drift_depth moving average first — for "
+                             "wandering score baselines). On resume the "
+                             "state file's method stays active; passing "
+                             "this flag alongside a differing state warns")
     parser.add_argument("--drift_depth", type=int, default=450,
                         help="dspot drift-window depth (points of moving "
                              "average subtracted before thresholding)")
     parser.add_argument("--state_file", type=str, default="",
                         help="persist streaming state (ring buffer, EWM, "
-                             "threshold/SPOT state, position) here on exit "
-                             "and resume from it on start: a killed server "
-                             "continues exactly where it left off instead "
-                             "of re-priming and re-calibrating")
+                             "threshold/SPOT state, stream position) here "
+                             "on exit and resume from it on start: a "
+                             "killed server continues exactly where it "
+                             "left off instead of re-priming and "
+                             "re-calibrating; restarting on the same "
+                             "--input FILE skips rows already served")
     parser.add_argument("--emit_features", type=int, default=0,
                         help="include the top-K per-feature anomaly scores "
                              "in each record as [feature_index, score] "
@@ -612,6 +717,11 @@ def main() -> None:
                         help="malformed stream rows: skip-and-log (keep "
                              "serving) or strict (raise)")
     args = parser.parse_args()
+    # remember whether --threshold_method was actually given (None = not):
+    # the resume warning must not claim a never-made request is ignored
+    args.threshold_method_given = args.threshold_method
+    if args.threshold_method is None:
+        args.threshold_method = "epsilon"
     from mtad_gat_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache(getattr(args, "compile_cache", "default"))
@@ -686,12 +796,17 @@ def main() -> None:
     bucket_for = _bucket_ladder(chunk)
 
     resumed = bool(args.state_file and os.path.exists(args.state_file))
+    skip = 0
+    stream_pos = [0]
     if resumed:
         # crash/restart resume: ring buffer + EWM + threshold/SPOT state +
         # position restored exactly; no re-priming, no re-calibration
-        scorer.load_state_file(args.state_file)
+        saved_input, saved_lines = _load_serving_state(scorer, args.state_file)
+        skip = _resume_skip_lines(saved_input, saved_lines, args.input)
+        stream_pos[0] = skip
         _warn_resumed_method(
-            scorer._threshold_method, args.threshold_method, args.state_file
+            scorer._threshold_method, args.threshold_method_given,
+            args.state_file,
         )
         print(f"Serving: resumed streaming state from {args.state_file} "
               f"(t={scorer._seen}, threshold={scorer._threshold_method}); "
@@ -703,11 +818,9 @@ def main() -> None:
         if span is not None:
             # calibrate on SMOOTHED train scores — what the offline eval
             # thresholds on (reference prediction.py:158-163)
-            import pandas as pd
+            from mtad_gat_tpu.inference.predictor import smooth_scores
 
-            train_scores = (
-                pd.Series(train_scores).ewm(span=span).mean().to_numpy()
-            )
+            train_scores = smooth_scores(train_scores, span)
         level, q, reg_level = lookup_pot_params(
             dataset, args.group, cfg.level, cfg.q
         )
@@ -743,11 +856,15 @@ def main() -> None:
 
     sink = _open_sink(args.output, resumed)
     save_state = (
-        (lambda: scorer.save_state(args.state_file)) if args.state_file else None
+        (lambda: _save_serving_state(
+            scorer, args.state_file, args.input, stream_pos[0]
+        ))
+        if args.state_file else None
     )
     n_pts, n_alarms = _serve_loop(
         _stream_chunks(args.input, n_features, chunk,
-                       flush_ms=args.flush_ms, bad_line=args.bad_line),
+                       flush_ms=args.flush_ms, bad_line=args.bad_line,
+                       skip_lines=skip, pos=stream_pos),
         score_chunk, sink, save_state,
     )
     print(f"Served {n_pts} points, {n_alarms} alarms.", file=sys.stderr)

@@ -366,7 +366,16 @@ class RunConfig:
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "RunConfig":
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        kw = {k: v for k, v in d.items() if k in known}
+        if "gru_impl" not in kw:
+            # config.txt saved before gru_impl existed: those checkpoints
+            # trained (and calibrated their cached scores) with the XLA
+            # scan — pin it rather than backfilling the "auto" default,
+            # which would silently switch long-window runs to the
+            # allclose-but-not-bit-identical Pallas GRU at predict/serve
+            # and drift scores against their cached threshold calibration
+            kw["gru_impl"] = "xla"
+        return cls(**kw)
 
     @classmethod
     def load(cls, path: str) -> "RunConfig":

@@ -378,19 +378,30 @@ class OnlineScorer:
         aggregations.pyx::ewm``): carry (weighted_avg, old_wt); per point
         ``old_wt *= 1-alpha``; ``avg = (old_wt*avg + cur) / (old_wt + 1)``
         unless ``avg == cur`` (pandas skips the update to avoid rounding);
-        ``old_wt += 1``."""
+        ``old_wt += 1``. NaN observations follow pandas too (ignore_na=False
+        default): the weight still decays but the average is NOT blended
+        with the NaN — a single bad point must not poison every later score
+        (the stream recovers, exactly like the offline smoother)."""
+        cur = float(score)
         if self._ewm_avg is None:
-            self._ewm_avg = float(score)
+            # first point of the stream seeds the average, NaN or not —
+            # pandas starts from vals[0] and, if that is NaN, recovers at
+            # the first real observation (the elif branch below)
+            self._ewm_avg = cur
             self._ewm_old_wt = 1.0
             return self._ewm_avg
         alpha = 2.0 / (self.smoothing_span + 1.0)
-        self._ewm_old_wt *= 1.0 - alpha
-        cur = float(score)
-        if self._ewm_avg != cur:
-            self._ewm_avg = (self._ewm_old_wt * self._ewm_avg + cur) / (
-                self._ewm_old_wt + 1.0
-            )
-        self._ewm_old_wt += 1.0
+        is_obs = cur == cur
+        if self._ewm_avg == self._ewm_avg:
+            self._ewm_old_wt *= 1.0 - alpha
+            if is_obs:
+                if self._ewm_avg != cur:
+                    self._ewm_avg = (self._ewm_old_wt * self._ewm_avg + cur) / (
+                        self._ewm_old_wt + 1.0
+                    )
+                self._ewm_old_wt += 1.0
+        elif is_obs:
+            self._ewm_avg = cur
         return self._ewm_avg
 
     def _finalize(self, record: Dict) -> None:

@@ -52,6 +52,13 @@ def smoothing_span(window_size: int, base: int = 256) -> int:
     return max(1, int(base * window_size * 0.05))
 
 
+def smooth_scores(scores, span: int):
+    """pandas adjust-mode EWM over a score series — THE smoothing applied by
+    the offline evaluation (reference ``prediction.py:132-135``) and reused
+    by the serving CLI's threshold calibration so both stay in lockstep."""
+    return pd.Series(scores).ewm(span=span).mean().to_numpy()
+
+
 class Predictor:
     """Mirrors the reference Predictor surface: ``get_score`` and
     ``predict_anomalies`` (``prediction.py:36,96``)."""
@@ -205,7 +212,7 @@ class Predictor:
         HARDCODED batch size (prediction.py:31,133) — NOT this predictor's
         scoring batch: smoothed scores must be invariant to --bs."""
         span = smoothing_span(self.window_size, self.smoothing_base)
-        return pd.Series(scores).ewm(span=span).mean().to_numpy()
+        return smooth_scores(scores, span)
 
     def _annotate_feature_thresholds(self, frames) -> None:
         """Per-feature epsilon thresholds and binary predictions, written as

@@ -39,6 +39,19 @@ def test_run_config_roundtrip(tmp_path):
     assert cfg2 == cfg
 
 
+def test_run_config_pre_gru_impl_checkpoints_pin_xla():
+    """config.txt files saved before gru_impl existed trained with the XLA
+    scan; loading them must pin gru_impl='xla' rather than backfill the
+    'auto' default, which would switch long-window checkpoints to the
+    allclose-but-not-bit-identical Pallas GRU at predict/serve and drift
+    scores against their cached threshold calibration."""
+    d = {"dataset": "SMD", "group": "1-1", "lookback": 4096}
+    assert RunConfig.from_dict(d).gru_impl == "xla"
+    # configs that carry the key keep it verbatim
+    assert RunConfig.from_dict({**d, "gru_impl": "auto"}).gru_impl == "auto"
+    assert RunConfig().gru_impl == "auto"  # new runs still default to auto
+
+
 @requires_reference
 def test_pot_param_tables_match_reference():
     """level_q_dict / reg_level_dict from reference train.py:126-143."""

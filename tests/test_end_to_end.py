@@ -517,6 +517,88 @@ def test_serve_cli_state_file_kill_and_resume(
     assert [r["is_anomaly"] for r in got] == [r["is_anomaly"] for r in want]
 
 
+def test_serve_cli_resume_same_file_skips_served_rows(
+    smd_like_root, tmp_path, monkeypatch
+):
+    """Restarting serve.py with the SAME --input file resumes at the line
+    after the last served row instead of re-scoring the file from row 0
+    (which would emit every point twice at shifted timesteps and advance
+    the threshold state through replayed data). The persisted state carries
+    the input path + line position; appended rows — the `tail -f` growth
+    pattern — are served exactly once."""
+    import sys
+
+    out_root = tmp_path / "output"
+    cfg = RunConfig(
+        dataset="SMD", group="1-1", lookback=20, epochs=1, bs=32,
+        gru_hid_dim=16, fc_hid_dim=16, fc_n_layers=1, recon_hid_dim=16,
+        log_tensorboard=False, data_root=str(smd_like_root),
+        output_root=str(out_root),
+    )
+    run_training(cfg, run_id="01012026_190000")
+
+    with open(os.path.join(
+        str(smd_like_root), "ServerMachineDataset", "processed",
+        "machine-1-1_test.pkl",
+    ), "rb") as f:
+        test_series = pickle.load(f)[:100]
+
+    from mtad_gat_tpu.cli import serve_cli
+
+    def rows_csv(rows):
+        return "".join(",".join(f"{v:.6f}" for v in r) + "\n" for r in rows)
+
+    stream = tmp_path / "grow.csv"
+    out = tmp_path / "grow.jsonl"
+    state = str(tmp_path / "grow.state")
+
+    def serve():
+        monkeypatch.setattr(sys, "argv", [
+            "serve.py", "--dataset", "SMD", "--group", "1-1",
+            "--model_id", "01012026_190000",
+            "--data_root", str(smd_like_root), "--output_root", str(out_root),
+            "--input", str(stream), "--output", str(out),
+            "--chunk", "16", "--state_file", state,
+            "--log_tensorboard", "False",
+        ])
+        serve_cli.main()
+        return [json.loads(l) for l in out.read_text().splitlines()]
+
+    stream.write_text(rows_csv(test_series[:60]))
+    first = serve()
+    assert len(first) == 60
+
+    # restart on the identical (unchanged) file: nothing new to serve
+    again = serve()
+    assert len(again) == 60  # appended nothing — no duplicate records
+
+    # the file grows (tail -f pattern): only the new rows are served
+    with open(stream, "a") as f:
+        f.write(rows_csv(test_series[60:]))
+    grown = serve()
+    # priming consumes the lookback-long train tail, so the 100 streamed
+    # rows score at t = lookback .. lookback+99 — each exactly once
+    assert [r["t"] for r in grown] == list(
+        range(cfg.lookback, cfg.lookback + 100)
+    )
+    # and the full record stream equals one uninterrupted session
+    stream2 = tmp_path / "oracle.csv"
+    out2 = tmp_path / "oracle.jsonl"
+    stream2.write_text(rows_csv(test_series))
+    monkeypatch.setattr(sys, "argv", [
+        "serve.py", "--dataset", "SMD", "--group", "1-1",
+        "--model_id", "01012026_190000",
+        "--data_root", str(smd_like_root), "--output_root", str(out_root),
+        "--input", str(stream2), "--output", str(out2),
+        "--chunk", "16", "--log_tensorboard", "False",
+    ])
+    serve_cli.main()
+    want = [json.loads(l) for l in out2.read_text().splitlines()]
+    np.testing.assert_array_equal(
+        [r["score"] for r in grown], [r["score"] for r in want]
+    )
+
+
 def test_serve_cli_sigterm_persists_state(smd_like_root, tmp_path):
     """A real `kill <pid>` (SIGTERM) on a live serve.py process persists the
     streaming state via the signal handler, and a resumed session continues
@@ -564,14 +646,22 @@ def test_serve_cli_sigterm_persists_state(smd_like_root, tmp_path):
     )
     proc.stdin.write(rows_csv(test_series[:40]))
     proc.stdin.flush()
-    # wait until the server has scored (and state-saved) the 40 points
-    deadline = _time.monotonic() + 120
+    # wait until the server has scored (and state-saved) the 40 points;
+    # generous deadline — under a loaded machine the subprocess's cold
+    # start (imports + XLA compiles) alone can take minutes
+    deadline = _time.monotonic() + 300
     while _time.monotonic() < deadline:
         if os.path.exists(out1) and len(
             open(out1).read().splitlines()
         ) >= 40 and os.path.exists(state):
             break
         _time.sleep(0.5)
+    else:
+        proc.kill()
+        pytest.fail(
+            "server did not score 40 points within the readiness deadline "
+            f"(stderr: {proc.stderr.read()[-2000:]})"
+        )
     proc.terminate()  # SIGTERM, stdin still open: the handler must fire
     rc = proc.wait(timeout=60)
     assert rc == 143

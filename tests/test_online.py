@@ -193,6 +193,31 @@ def test_streaming_ewm_matches_offline_smooth(model_and_params):
     np.testing.assert_array_equal(got2, want)
 
 
+def test_streaming_ewm_nan_matches_pandas():
+    """NaN scores follow pandas ``ewm`` semantics (ignore_na=False): the
+    weight decays but the average is not blended with the NaN, and the
+    stream RECOVERS at the next real observation — one bad point must not
+    poison every later smoothed score (silently disabling all alarms)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    for span, mutate in [
+        (7, lambda v: v.__setitem__([5, 50, 51], np.nan)),  # NaN gaps
+        (7, lambda v: v.__setitem__(0, np.nan)),            # NaN seed
+        (13, lambda v: v.__setitem__(slice(0, 6), np.nan)),  # NaN prefix
+    ]:
+        vals = rng.standard_normal(150)
+        mutate(vals)
+        scorer = OnlineScorer.__new__(OnlineScorer)
+        scorer.smoothing_span = span
+        scorer._ewm_avg, scorer._ewm_old_wt = None, 1.0
+        got = np.array([scorer._smooth_score(v) for v in vals])
+        want = pd.Series(vals).ewm(span=span, adjust=True).mean().to_numpy()
+        finite = np.isfinite(want)
+        np.testing.assert_array_equal(np.isfinite(got), finite)
+        np.testing.assert_array_equal(got[finite], want[finite])
+
+
 def test_streaming_ewm_threshold_on_smoothed(model_and_params):
     """With smoothing armed, the alarm compares the SMOOTHED score against
     the threshold (the offline eval thresholds on smoothed scores,

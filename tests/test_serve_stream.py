@@ -103,6 +103,72 @@ def test_final_unterminated_line(tmp_path):
     )
 
 
+def test_skip_lines_and_position_tracking(tmp_path):
+    """Crash-resume plumbing: ``skip_lines`` fast-forwards rows a previous
+    session already served, and ``pos`` tracks the line number covered by
+    each yielded chunk — including blank and malformed lines, so a resume
+    lands on exactly the next unseen row."""
+    src = tmp_path / "s.csv"
+    src.write_text("1,1,1\n2,2,2\n\nbad,line\n3,3,3\n4,4,4\n5,5,5\n")
+
+    pos = [0]
+    gen = _stream_chunks(str(src), K, chunk=2, flush_ms=0, pos=pos)
+    first = next(gen)
+    np.testing.assert_array_equal(first, [[1, 1, 1], [2, 2, 2]])
+    assert pos[0] == 2          # two lines fully served
+    rest = np.concatenate(list(gen))
+    np.testing.assert_array_equal(rest, [[3, 3, 3], [4, 4, 4], [5, 5, 5]])
+    assert pos[0] == 7          # blank + malformed lines counted too
+
+    # resume from the recorded position: only unseen rows are yielded
+    resumed = list(_stream_chunks(str(src), K, chunk=2, flush_ms=0,
+                                  skip_lines=2))
+    np.testing.assert_array_equal(
+        np.concatenate(resumed), [[3, 3, 3], [4, 4, 4], [5, 5, 5]]
+    )
+    # resume at EOF position: nothing to serve
+    assert list(_stream_chunks(str(src), K, chunk=2, flush_ms=0,
+                               skip_lines=7)) == []
+
+
+def test_multi_skip_lines_and_positions(tmp_path):
+    """Per-stream resume plumbing for the fleet multiplexer: positions only
+    advance through YIELDED rows (burst carry-over stays uncounted until
+    its rows actually go out) and per-stream skips are independent."""
+    from mtad_gat_tpu.cli.serve_cli import _stream_chunks_multi
+
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    a.write_text("".join(f"{i},{i},{i}\n" for i in range(6)))
+    b.write_text("".join(f"{10+i},0,0\n" for i in range(3)))
+
+    pos = [0, 0]
+    got_a, got_b = [], []
+    for ba, bb in _stream_chunks_multi(
+        [str(a), str(b)], K, chunk=2, flush_ms=0, pos=pos
+    ):
+        if ba.shape[0]:
+            got_a.append(ba)
+            assert pos[0] == int(ba[-1, 0]) + 1  # row i is line i+1
+        if bb.shape[0]:
+            got_b.append(bb)
+    np.testing.assert_array_equal(
+        np.concatenate(got_a)[:, 0], np.arange(6)
+    )
+    assert pos == [6, 3]
+
+    # per-stream skip: stream a resumes at line 5, b from the start
+    out = list(_stream_chunks_multi(
+        [str(a), str(b)], K, chunk=8, flush_ms=0, skip_lines=[4, 0]
+    ))
+    np.testing.assert_array_equal(
+        np.concatenate([ba for ba, _ in out])[:, 0], [4, 5]
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([bb for _, bb in out])[:, 0], [10, 11, 12]
+    )
+
+
 def test_parse_row_policies(capsys):
     assert _parse_row("1,2,3", 3, "skip", 1).tolist() == [1.0, 2.0, 3.0]
     assert _parse_row("x,y,z", 3, "skip", 2) is None
