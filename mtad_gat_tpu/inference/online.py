@@ -341,6 +341,11 @@ class OnlineScorer:
         }
 
     def load_state(self, state: Dict) -> None:
+        if "scorer" in state and "lines" in state:
+            # serve.py state file: scorer state wrapped with the input
+            # stream position (cli/serve_cli.py:_save_serving_state) —
+            # unwrap so library users can load CLI-produced state too
+            state = state["scorer"]
         if (state["window"], state["n_features"]) != (self.window, self.n_features):
             raise ValueError(
                 f"state is for window={state['window']}/k={state['n_features']}, "

@@ -232,6 +232,10 @@ class OnlineFleetScorer:
         }
 
     def load_state(self, state: Dict) -> None:
+        if "scorer" in state and "lines" in state:
+            # serve.py fleet state file: unwrap the stream-position wrapper
+            # (cli/serve_cli.py:_save_serving_state)
+            state = state["scorer"]
         if (
             state["n_entities"], state["window"], state["n_features"]
         ) != (self.n_entities, self.window, self.n_features):
