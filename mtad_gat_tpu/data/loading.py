@@ -91,11 +91,25 @@ def get_data(
     test_end = None if max_test_size is None else test_start + max_test_size
 
     x_dim = get_data_dim(dataset)
+
+    def _as_2d(arr, name):
+        # the reference reshapes unconditionally (utils.py:82-95); a 2-D
+        # pickle whose width differs from the dataset table would then be
+        # silently re-rowed into garbage whenever the sizes happen to
+        # divide (e.g. a 19-feature synthetic series becoming interleaved
+        # 38-wide rows) — reject it loudly instead
+        if arr.ndim == 2 and arr.shape[1] != x_dim:
+            raise ValueError(
+                f"{name} has {arr.shape[1]} features but dataset "
+                f"{dataset!r} expects {x_dim} (get_data_dim table)"
+            )
+        return arr.reshape((-1, x_dim))
+
     with open(os.path.join(prefix, dataset + "_train.pkl"), "rb") as f:
-        train_data = pickle.load(f).reshape((-1, x_dim))[train_start:train_end, :]
+        train_data = _as_2d(pickle.load(f), "train.pkl")[train_start:train_end, :]
     try:
         with open(os.path.join(prefix, dataset + "_test.pkl"), "rb") as f:
-            test_data = pickle.load(f).reshape((-1, x_dim))[test_start:test_end, :]
+            test_data = _as_2d(pickle.load(f), "test.pkl")[test_start:test_end, :]
     except (KeyError, FileNotFoundError):
         test_data = None
     try:
@@ -155,7 +169,14 @@ def adjust_anomaly_scores(
     Two reference quirks are load-bearing and preserved: segment slices are
     inclusive of the next boundary index, so each boundary element is
     re-normalized again with the following segment (sequential, in channel
-    order), and a zero-range segment is only shifted to zero, not scaled."""
+    order), and a zero-range segment is only shifted to zero, not scaled.
+
+    Known reference flaw, also preserved: a channel SHORTER than the
+    lookback makes its cumulative boundary negative, so the affected
+    ``adjusted[lo : hi + 1]`` slice wraps via negative indexing and
+    normalizes a mostly-wrong range (reference ``utils.py:246-253`` does
+    the same). No published NASA channel is that short at the reference's
+    lookback of 100; matching behavior keeps score parity."""
     if dataset.upper() not in ("SMAP", "MSL"):
         return scores
 

@@ -98,9 +98,19 @@ def main() -> None:
                    help="comma-separated SMD-style group ids")
     p.add_argument("--n_train", type=int, default=2000)
     p.add_argument("--n_test", type=int, default=1000)
-    p.add_argument("--n_features", type=int, default=38)
+    p.add_argument("--n_features", type=int, default=38,
+                   help="feature count; machine-* loading expects the SMD "
+                        "width (38, data/loading.py:get_data_dim)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
+    if args.n_features != 38:
+        raise SystemExit(
+            f"--n_features {args.n_features}: the pipeline's machine-* "
+            "loader expects the SMD width of 38 features "
+            "(get_data_dim table); a different width would be rejected at "
+            "load time. Use the library writer (data/synthetic.py:"
+            "write_smd_like) for custom widths."
+        )
     for i, g in enumerate(x for x in args.groups.split(",") if x):
         proc = write_smd_like(
             args.data_root, group=g, n_train=args.n_train,

@@ -20,9 +20,15 @@ import jax
 import jax.numpy as jnp
 
 
-def num_windows(series_len: int, window: int) -> int:
-    """Reference ``SlidingWindowDataset.__len__`` (utils.py:119-120)."""
-    return series_len - window
+def num_windows(series_len: int, window: int, horizon: int = 1) -> int:
+    """Reference ``SlidingWindowDataset.__len__`` (utils.py:119-120):
+    ``T - window`` at the default horizon 1. For horizon > 1 the count is
+    clamped so the last window's target stays inside the series — the
+    reference ignores horizon here and its final targets silently truncate
+    (utils.py:117); on-device gathers would instead read out of bounds
+    (``jnp.take`` fills NaN) and poison the loss, so the clamp is load-
+    bearing, not cosmetic."""
+    return series_len - window - (horizon - 1)
 
 
 def gather_windows(series: jax.Array, starts: jax.Array, window: int) -> jax.Array:

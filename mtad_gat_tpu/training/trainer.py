@@ -124,6 +124,9 @@ class Trainer:
         }
         self.epoch_times = []
         self.state: Optional[TrainState] = None
+        # step count restored by load_full(): the next fit() resumes from
+        # it; 0 = nothing to resume (fresh trainer, or fit() already ran)
+        self._resume_step = 0
         # Multi-process write hygiene: only process 0 writes metrics (and
         # checkpoints, see save()) — on a pod every process runs fit() but
         # the run directory must have exactly one writer.
@@ -244,7 +247,12 @@ class Trainer:
         (reference training.py:187-229)."""
         assert self.state is not None, "call init_state() first"
         series = jnp.asarray(series, jnp.float32)
-        n = num_windows(series.shape[0], self.window)
+        n = num_windows(series.shape[0], self.window, self.horizon)
+        if n < 1:
+            raise ValueError(
+                f"series of length {series.shape[0]} yields no windows at "
+                f"window={self.window}, horizon={self.horizon}"
+            )
         starts, mask, _ = batched_starts(n, self.train_config.bs)
         fs, rs = self._epoch_eval(self.state.params, series, starts, mask)
         return self._aggregate(np.asarray(fs), np.asarray(rs))
@@ -263,7 +271,16 @@ class Trainer:
             self.init_state()
 
         series = jnp.asarray(train_series, jnp.float32)
-        n_win = num_windows(series.shape[0], self.window)
+        n_win = num_windows(series.shape[0], self.window, self.horizon)
+        if n_win < 1:
+            # an all-padding epoch would train on nothing — worse, the
+            # masked-RMSE gradient at an all-zero mask is NaN (sqrt'(0)
+            # times 0) and would silently destroy the params while the
+            # printed loss reads 0.0; fail loudly instead
+            raise ValueError(
+                f"series of length {series.shape[0]} yields no training "
+                f"windows at window={self.window}, horizon={self.horizon}"
+            )
 
         # Initial shuffle + split (utils.py:123-150)
         host_rng = np.random.default_rng(cfg.seed)
@@ -277,13 +294,19 @@ class Trainer:
             train_idx, val_idx = indices, None
 
         # Resume accounting first: restarts skip the init evals too (they are
-        # diagnostics and do not consume host_rng, so exactness is unaffected)
-        n_batches = max(1, -(-len(train_idx) // cfg.bs))
-        start_epoch = min(cfg.epochs, int(self.state.step) // n_batches)
+        # diagnostics and do not consume host_rng, so exactness is unaffected).
+        # Only a state RESTORED from disk (load_full/auto-resume) skips
+        # epochs — step alone cannot tell a restart from a second fit() on
+        # an already-trained trainer (continued training, reference
+        # semantics: every fit() call runs cfg.epochs epochs). n_batches
+        # comes from batched_starts, the same batching the epoch scan runs.
+        _, _, n_batches = batched_starts(0, cfg.bs, indices=train_idx)
+        start_epoch = min(cfg.epochs, self._resume_step // n_batches)
+        self._resume_step = 0  # consumed: a later fit() trains from epoch 0
 
         if start_epoch == 0:
             init_train = self._eval_indices(series, np.sort(train_idx))
-            print(f"Init total train loss: {init_train[2]:5f}")
+            print(f"Init total train loss: {init_train[2]:.5f}")
             if val_idx is not None and len(val_idx):
                 init_val = self._eval_indices(series, np.sort(val_idx))
                 print(f"Init total val loss: {init_val[2]:.5f}")
@@ -447,3 +470,6 @@ class Trainer:
             params=restored["params"], opt_state=restored["opt_state"],
             step=restored["step"], rng=restored["rng"],
         )
+        # the next fit() derives its resume point from THIS restored step
+        # (not from state.step, which also grows during in-process training)
+        self._resume_step = int(self.state.step)

@@ -34,6 +34,39 @@ def test_window_semantics_match_reference():
         np.testing.assert_array_equal(y[i], data[i + w : i + w + 1])
 
 
+def test_num_windows_horizon_stays_in_bounds():
+    """horizon > 1 clamps the window count so the last target gather stays
+    inside the series — out-of-bounds jnp.take fills NaN and would poison
+    the loss (the reference's horizon>1 silently truncates instead,
+    utils.py:117; neither trains beyond the first step)."""
+    T, k, w, h = 30, 2, 10, 3
+    data = np.arange(T * k, dtype=np.float32).reshape(T, k)
+    n = num_windows(T, w, h)
+    assert n == T - w - (h - 1)
+    assert num_windows(T, w) == T - w  # horizon 1 unchanged (parity)
+    y = np.asarray(
+        gather_targets(jnp.asarray(data), jnp.arange(n), w, horizon=h)
+    )
+    assert np.isfinite(y).all()
+    np.testing.assert_array_equal(y[-1], data[T - h : T])
+
+
+def test_get_data_rejects_width_mismatch(tmp_path):
+    """A 2-D pickle whose width differs from the dataset table must be
+    rejected: the reference's unconditional reshape would silently re-row
+    it into interleaved garbage whenever the sizes divide."""
+    import pickle
+
+    d = tmp_path / "ServerMachineDataset" / "processed"
+    d.mkdir(parents=True)
+    bad = np.zeros((50, 19), np.float32)  # 50*19 divides 38: silent re-row
+    for nm in ("machine-1-1_train", "machine-1-1_test"):
+        with open(d / f"{nm}.pkl", "wb") as f:
+            pickle.dump(bad, f)
+    with pytest.raises(ValueError, match="19 features .* expects 38"):
+        get_data("machine-1-1", data_root=str(tmp_path), normalize=False)
+
+
 def test_batched_starts_mask():
     starts, mask, nb = batched_starts(10, 4)
     assert starts.shape == (3, 4)

@@ -136,6 +136,40 @@ def test_periodic_checkpoint_without_val_and_resume(tmp_path):
     tr2.fit(series)
 
 
+def test_second_fit_trains_more_epochs(tmp_path):
+    """Calling fit() again on an already-trained trainer runs the full
+    epoch count again (continued training, reference semantics: every
+    fit() call trains cfg.epochs epochs). Only a state RESTORED from disk
+    resumes mid-schedule — step alone must not be mistaken for a restart,
+    or the second fit() silently trains nothing."""
+    mc, tc = _cfgs()
+    series = synthetic_series(n_train=120, n_test=60, n_features=5, seed=0)[0]
+
+    tr = Trainer(mc, tc, log_dir=str(tmp_path / "logs"))
+    tr.fit(series)
+    step_after_first = int(tr.state.step)
+    n_epoch_rows = len(tr.losses["train_total"])
+    assert n_epoch_rows == tc.epochs
+
+    tr.fit(series)  # must actually train, not "resume" past everything
+    assert int(tr.state.step) == 2 * step_after_first
+    assert len(tr.losses["train_total"]) == 2 * tc.epochs
+
+
+def test_too_short_series_raises(tmp_path):
+    """A series yielding zero windows must fail loudly: an all-padding
+    epoch would apply NaN masked-RMSE gradients (sqrt'(0) * 0) while
+    printing 0.0 losses, silently destroying the params."""
+    mc, tc = _cfgs()
+    tr = Trainer(mc, tc, log_dir=str(tmp_path / "logs"))
+    short = np.zeros((mc.window_size, mc.n_features), np.float32)
+    with pytest.raises(ValueError, match="no training windows"):
+        tr.fit(short)
+    tr.init_state()
+    with pytest.raises(ValueError, match="no windows"):
+        tr.evaluate(short)
+
+
 def test_checkpoint_every_zero_is_reference_behavior(tmp_path):
     """checkpoint_every=0 + no val split -> nothing on disk until the final
     end-of-training save (reference training.py:179-180 semantics)."""
